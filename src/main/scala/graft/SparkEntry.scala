@@ -1,13 +1,566 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dedup.{Dedup, MinHashLSH, SimHash}
+import graft.functions.Analyzer
+import graft.mixer.Mixer
+import graft.operators.TagRunner
+import graft.similarity.Ann
+import graft.sources.CodeDocs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible (operators whose value is the custom
+  * engine itself — minhash, simhash, fastText, KenLM, the code pipeline —
+  * are rows-only here and exact-value-tested in ScalaTest instead).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ---- helpers ------------------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Python-split word list of a text column (drops empties). */
+  private def words(c: Column): Column =
+    filter(split(c, "\\s+"), w => w =!= "")
+
+  /** PII-bearing variant of the documents text, synthesized identically in
+    * Spark and the DuckDB oracle (docs have no natural PII). */
+  private def withPiiText(d: DataFrame): DataFrame =
+    d.withColumn("text2",
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact dev"), col("doc_id"),
+          lit("@mail.example.org now. Call (555) 123-4567 or ping 192.168.1.42 ok.")))
+        .otherwise(col("text")))
+
+  private val PiiText2Sql =
+    """CASE WHEN doc_id % 3 = 0
+      | THEN text || ' contact dev' || doc_id ||
+      |      '@mail.example.org now. Call (555) 123-4567 or ping 192.168.1.42 ok.'
+      | ELSE text END""".stripMargin.replace("\n", " ")
+
+  /** Tag the documents table and return one row per doc with the named
+    * attribute scores as columns. */
+  private def tagged(s: SparkSession, dir: String, taggers: Seq[String],
+      scoreCols: Seq[(String, String, String)] /* (tagger, type, outName) */,
+      asLong: Set[String] = Set.empty): DataFrame = {
+    val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+    val attrs = TagRunner.tag(d, taggers, "t", idCol = "id", textCol = "text",
+      roundScores = false)
+    val sel = col("id").cast("long").as("doc_id") +: scoreCols.map {
+      case (tg, typ, out) =>
+        val c = TagRunner.attrScore(graft.core.Attributes.mangle("t", tg, typ))
+        (if (asLong.contains(out)) c.cast("long") else c).as(out)
+    }
+    attrs.select(sel: _*)
+  }
+
+  // ---- flagship ------------------------------------------------------
+
+  /** Flagship: the full dolma-shaped pipeline (tag → dedupe → mix) over the
+    * synthetic code-file corpus (BASELINE input_hint shape) at sf0.001. */
+  def entry(spark: SparkSession): DataFrame = codePipeline(spark, 2000L)
+
+  /** tag → dedupe → mix over `n` synthetic code docs: the SURVEY §7.2
+    * minimum end-to-end slice. */
+  def codePipeline(spark: SparkSession, n: Long): DataFrame = {
+    val docsDs = CodeDocs.generate(spark, n).toDF()
+      .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
+      .withColumn("ordinal", monotonically_increasing_id())
+
+    // tag: quality + PII + repetitions, fused in one mapPartitions pass
+    val attrs = TagRunner.tag(docsDs,
+      Seq("gopher_v2", "code_redpajama_taggers_v1", "pii_regex_with_counts_fast_v2",
+        "repetitions_v1", "code_copyright_comments_v1"),
+      "exp", idCol = "id", textCol = "content")
+
+    // dedupe: exact content dedup, first occurrence wins
+    val withDup = Dedup.markDuplicates(
+      docsDs, sha2(col("content"), 256), col("ordinal"))
+
+    // mix: join attributes (broadcast-eligible), exclude rules, scrub PII
+    val merged = Mixer.mergeAttributes(
+      withDup, Seq(attrs)) // one attribute experiment table
+    val cfg = Mixer.MixerConfig(
+      exclude = Seq(
+        col("is_duplicate"),
+        TagRunner.attrScore("exp__code_redpajama_taggers_v1__max_line_length_doc") > 1000,
+        TagRunner.attrScore("exp__pii_regex_with_counts_fast_v2__doc_count") > 5,
+        TagRunner.attrScore("exp__gopher_v2__fraction_of_duplicate_lines") > 0.5),
+      spanReplacements = Seq(
+        Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__EMAIL_ADDRESS", template = " |||EMAIL||| "),
+        Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__PHONE_NUMBER", template = " |||PHONE||| "),
+        Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__IP_ADDRESS", template = " |||IP||| ")),
+      discardFields = Seq("is_duplicate"),
+      minTextLength = 1)
+    Mixer.mix(merged, cfg, lit("codedocs"), col("ordinal"))
+      .select(col("id"), col("repo"), col("lang"), col("content"), col("provenance"))
+  }
+
+  // ---- queries -------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- generic relational core (scan/filter/agg/join/window/limit) --
+    "q1_agg" -> ((s, dir) => {
+      lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100).cast("long")).as("price_cents"))
+    }),
+
+    "q2_join_agg" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
+            .as("revenue_cents"))
+    }),
+
+    "q3_window_first_order" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
+    }),
+
+    "q4_broadcast_star" -> ((s, dir) => {
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val reg = s.read.parquet(s"$dir/region.parquet")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(floor(col("s_acctbal") * 100).cast("long")).as("acctbal_cents"))
+    }),
+
+    "q5_events_window" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("bucket", expr("unix_micros(cast(ts as timestamp)) div 300000000"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+    }),
+
+    // -- tagger battery over documents (mapPartitions-fused) --
+    "tag_lengths" -> ((s, dir) =>
+      tagged(s, dir,
+        Seq("char_length_v1", "char_length_strip_ws_v1", "bytes_length_v1",
+          "whitespace_tokenizer_v1"),
+        Seq(
+          ("char_length_v1", "length", "char_len"),
+          ("char_length_strip_ws_v1", "length_no_ws", "char_len_strip"),
+          ("bytes_length_v1", "bytes", "byte_len"),
+          ("whitespace_tokenizer_v1", "length", "ws_segments")),
+        asLong = Set("char_len", "char_len_strip", "byte_len", "ws_segments"))),
+
+    "tag_gopher" -> ((s, dir) =>
+      tagged(s, dir, Seq("gopher_v2"),
+        Seq(
+          ("gopher_v2", "word_count", "word_count"),
+          ("gopher_v2", "median_word_length", "median_word_length"),
+          ("gopher_v2", "symbol_to_word_ratio", "symbol_to_word_ratio"),
+          ("gopher_v2", "fraction_of_words_with_alpha_character", "frac_alpha"),
+          ("gopher_v2", "required_word_count", "required_word_count"),
+          ("gopher_v2", "fraction_of_duplicate_lines", "frac_dup_lines")),
+        asLong = Set("word_count", "required_word_count"))),
+
+    "tag_c4" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+      val attrs = TagRunner.tag(d, Seq("c4_v2"), "t", idCol = "id", textCol = "text",
+        roundScores = false)
+      attrs.select(
+        col("id").cast("long").as("doc_id"),
+        size(TagRunner.attrSpans("t__c4_v2__has_curly_brace")).cast("long").as("has_curly"),
+        size(TagRunner.attrSpans("t__c4_v2__has_lorem_ipsum")).cast("long").as("has_lorem"),
+        size(TagRunner.attrSpans("t__c4_v2__has_javascript")).cast("long").as("has_js"),
+        TagRunner.attrScore("t__c4_v2__line_count").cast("long").as("line_count"),
+        size(TagRunner.attrSpans("t__c4_v2__lines_with_too_few_words")).cast("long").as("short_lines"),
+        size(TagRunner.attrSpans("t__c4_v2__lines_with_no_ending_punctuation")).cast("long").as("unpunct_lines"))
+    }),
+
+    "tag_redpajama" -> ((s, dir) =>
+      tagged(s, dir, Seq("code_redpajama_taggers_v1"),
+        Seq(
+          ("code_redpajama_taggers_v1", "max_line_length_doc", "max_line_length"),
+          ("code_redpajama_taggers_v1", "avg_line_length_doc", "avg_line_length"),
+          ("code_redpajama_taggers_v1", "alnum_prop_doc", "alnum_prop"),
+          ("code_redpajama_taggers_v1", "alpha_token_prop_doc", "alpha_token_prop")))),
+
+    "tag_pii" -> ((s, dir) => {
+      val d = withPiiText(docs(s, dir))
+        .withColumn("id", col("doc_id").cast("string"))
+      val attrs = TagRunner.tag(d, Seq("pii_regex_with_counts_fast_v2"), "t",
+        idCol = "id", textCol = "text2", roundScores = false)
+      attrs.select(
+        col("id").cast("long").as("doc_id"),
+        size(TagRunner.attrSpans("t__pii_regex_with_counts_fast_v2__EMAIL_ADDRESS")).cast("long").as("emails"),
+        size(TagRunner.attrSpans("t__pii_regex_with_counts_fast_v2__PHONE_NUMBER")).cast("long").as("phones"),
+        size(TagRunner.attrSpans("t__pii_regex_with_counts_fast_v2__IP_ADDRESS")).cast("long").as("ips"),
+        TagRunner.attrScore("t__pii_regex_with_counts_fast_v2__doc_count").cast("long").as("pii_count"))
+    }),
+
+    "tag_quality" -> ((s, dir) =>
+      tagged(s, dir, Seq("quality_score_v1"),
+        Seq(
+          ("quality_score_v1", "stopword_ratio", "stopword_ratio"),
+          ("quality_score_v1", "punct_ratio", "punct_ratio"),
+          ("quality_score_v1", "mean_word_length", "mean_word_length")))),
+
+    "tag_token_count" -> ((s, dir) =>
+      tagged(s, dir, Seq("token_count_v1"),
+        Seq(
+          ("token_count_v1", "whitespace_tokens", "ws_tokens"),
+          ("token_count_v1", "bpe_tokens_estimate", "bpe_est")),
+        asLong = Set("ws_tokens", "bpe_est"))),
+
+    "tag_langid_hits" -> ((s, dir) => {
+      val en = Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it")
+      val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
+      val fr = Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des")
+      val es = Seq("el", "la", "los", "y", "es", "una", "que", "por", "con", "para")
+      def hits(set: Seq[String]): Column =
+        size(filter(words(lower(col("text"))), w => w.isin(set.map(lit): _*)))
+          .cast("long")
+      docs(s, dir).select(col("doc_id"),
+        hits(en).as("en_hits"), hits(de).as("de_hits"),
+        hits(fr).as("fr_hits"), hits(es).as("es_hits"))
+    }),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(concat_ws(" ", words(lower(col("text"))))).as("fingerprint"))),
+
+    // -- dedup family --
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.markDuplicates(docs(s, dir), md5(col("text")), col("doc_id"))
+        .select(col("doc_id"), col("is_duplicate").cast("long").as("is_dup"))),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      MinHashLSH.nearDuplicatePairs(docs(s, dir),
+        col("doc_id").cast("string"), col("text"), k = 5, numPerms = 32,
+        bands = 8, minJaccard = 0.5)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"), col("est_jaccard"))),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      SimHash.nearDuplicatePairs(docs(s, dir),
+        col("doc_id").cast("string"), col("text"), maxDistance = 3)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"), col("distance"))),
+
+    "dedup_ngram_overlap" -> ((s, dir) =>
+      Dedup.ngramOverlapDuplicates(docs(s, dir), col("doc_id"), col("text"),
+        col("doc_id"), n = 8, stride = 0, threshold = 0.7)
+        .select(col("id").as("doc_id"), col("para_index"),
+          col("overlap_fraction"), col("is_duplicate").cast("long").as("is_dup"))),
+
+    // -- aggregation family --
+    "topk_bigrams" -> ((s, dir) =>
+      Analyzer.topKNgrams(docs(s, dir), col("text"), n = 2, k = 20)),
+
+    "analyzer_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy(length(col("n_chars").cast("string")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("total_chars"))),
+
+    // -- similarity search --
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Ann.cosineTopK(emb.filter(col("vec_id") =!= 0), col("vec_id"), col("embedding"), q, 10)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Ann.lshBucketedTopK(emb.filter(col("vec_id") =!= 0), col("vec_id"),
+        col("embedding"), q, 10, bits = 6)
+        .select(col("id").as("vec_id"), col("cosine"))
+    }),
+
+    // -- mixer (filter + scrub + min-length) --
+    "mixer_filter_scrub" -> ((s, dir) => {
+      val d = withPiiText(docs(s, dir))
+        .withColumn("id", col("doc_id").cast("string"))
+      val attrs = TagRunner.tag(d, Seq("pii_regex_with_counts_fast_v2"), "t",
+        idCol = "id", textCol = "text2", roundScores = false)
+      val merged = Mixer.mergeAttributes(
+        d.select(col("id"), col("doc_id"), col("n_chars"), col("text2").as("content")),
+        Seq(attrs))
+      val cfg = Mixer.MixerConfig(
+        exclude = Seq(col("n_chars") < 150),
+        spanReplacements = Seq(
+          Mixer.SpanReplacementRule("t__pii_regex_with_counts_fast_v2__EMAIL_ADDRESS", template = "[EMAIL]"),
+          Mixer.SpanReplacementRule("t__pii_regex_with_counts_fast_v2__PHONE_NUMBER", template = "[PHONE]"),
+          Mixer.SpanReplacementRule("t__pii_regex_with_counts_fast_v2__IP_ADDRESS", template = "[IP]")),
+        minTextLength = 1)
+      Mixer.mix(merged, cfg, lit("documents"), col("doc_id"))
+        .select(col("doc_id"), sha2(col("content"), 256).as("content_sha"),
+          octet_length(col("content")).cast("long").as("content_bytes"))
+    }),
+
+    // -- engine-native ops (no SQL equivalent; rows-only + ScalaTest) --
+    "code_pipeline" -> ((s, _) => codePipeline(s, 2000L)
+      .select(col("id"), col("lang"), sha2(col("content"), 256).as("content_sha"))),
+
+    "langid_fasttext" -> ((s, dir) => {
+      val model = Models.langId
+      val bc = s.sparkContext.broadcast(model)
+      val d = docs(s, dir)
+      import s.implicits._
+      d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val (label, prob) = bc.value.predict(text)
+          (id, label, prob)
+        }.toDF("doc_id", "predicted_lang", "prob")
+    }),
+
+    "kenlm_perplexity" -> ((s, dir) => {
+      val lm = Models.codeLm
+      val bc = s.sparkContext.broadcast(lm)
+      val d = docs(s, dir)
+      import s.implicits._
+      d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) => (id, bc.value.perplexity(text)) }
+        .toDF("doc_id", "perplexity")
+    })
+  )
+
+  // ---- oracle SQL (DuckDB dialect, same parquet tables) ---------------
+
+  def oracleSql: Map[String, String] = {
+    val wordsSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+    val wordsLowerSql = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    val tokenRe = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]+"
+
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          | sum(cast(l_quantity AS BIGINT)) AS sum_qty,
+          | count(*) AS n,
+          | sum(cast(floor(l_extendedprice*100) AS BIGINT)) AS price_cents
+          |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+      "q2_join_agg" ->
+        """SELECT c_mktsegment, count(*) AS n,
+          | sum(cast(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |GROUP BY 1""".stripMargin,
+
+      "q3_window_first_order" ->
+        """SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+          | SELECT o_custkey, o_orderkey,
+          |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          | FROM orders) WHERE rn = 1""".stripMargin,
+
+      "q4_broadcast_star" ->
+        """SELECT r_name, count(*) AS n_suppliers,
+          | sum(cast(floor(s_acctbal*100) AS BIGINT)) AS acctbal_cents
+          |FROM supplier
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY 1""".stripMargin,
+
+      "q5_events_window" ->
+        """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
+          | count(*) AS n, sum(cast(floor(value*100) AS BIGINT)) AS value_cents
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "tag_lengths" ->
+        s"""SELECT doc_id,
+           | length(text) AS char_len,
+           | length(trim(text, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11))) AS char_len_strip,
+           | strlen(text) AS byte_len,
+           | len(regexp_extract_all(text, '$tokenRe')) + 1 AS ws_segments
+           |FROM documents""".stripMargin,
+
+      "tag_gopher" ->
+        s"""WITH w AS (
+           | SELECT doc_id, $wordsSql AS wl,
+           |  list_sort(list_transform($wordsSql, x -> length(x))) AS lens
+           | FROM documents)
+           |SELECT doc_id,
+           | len(wl) AS word_count,
+           | CASE WHEN len(wl) = 0 THEN 0.0 ELSE
+           |  (lens[cast((len(wl)+1)//2 AS INT)] + lens[cast(len(wl)//2+1 AS INT)]) / 2.0 END
+           |  AS median_word_length,
+           | cast(len(list_filter(wl, x -> contains(x,'#') OR contains(x,'…'))) AS DOUBLE)
+           |  / greatest(len(wl), 1) AS symbol_to_word_ratio,
+           | cast(len(list_filter(wl, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+           |  / greatest(len(wl), 1) AS frac_alpha,
+           | len(list_filter(wl, x -> x IN ('the','be','to','of','and','that','have','with')))
+           |  AS required_word_count,
+           | cast(0.0 AS DOUBLE) AS frac_dup_lines
+           |FROM w""".stripMargin,
+
+      "tag_c4" ->
+        """WITH l AS (SELECT doc_id, lower(text) AS lt,
+          |            string_split(lower(text), chr(10)) AS lines FROM documents)
+          |SELECT doc_id,
+          | CASE WHEN contains(lt, '{') THEN 1 ELSE 0 END AS has_curly,
+          | CASE WHEN contains(lt, 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
+          | CASE WHEN contains(lt, 'javascript') THEN 1 ELSE 0 END AS has_js,
+          | len(lines) AS line_count,
+          | len(list_filter(lines, x ->
+          |   len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) < 3)) AS short_lines,
+          | len(list_filter(lines, x -> NOT (
+          |   trim(x) LIKE '%.' OR trim(x) LIKE '%?' OR trim(x) LIKE '%!' OR trim(x) LIKE '%"'))) AS unpunct_lines
+          |FROM l""".stripMargin,
+
+      "tag_redpajama" ->
+        s"""WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents)
+           |SELECT doc_id,
+           | cast(list_max(list_transform(lines, x -> length(x))) AS DOUBLE) AS max_line_length,
+           | cast(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE) / len(lines) AS avg_line_length,
+           | cast(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+           |  / greatest(length(text), 1) AS alnum_prop,
+           | cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           |  / (len(regexp_extract_all(text, '$tokenRe')) + 1) AS alpha_token_prop
+           |FROM l""".stripMargin,
+
+      "tag_pii" -> {
+        val emailRe = "[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\\n\\r]"
+        val phoneRe = "\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})"
+        val ipRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+        s"""WITH t AS (SELECT doc_id, $PiiText2Sql AS text2 FROM documents)
+           |SELECT doc_id,
+           | len(regexp_extract_all(text2, '$emailRe')) AS emails,
+           | len(regexp_extract_all(text2, '$phoneRe')) AS phones,
+           | len(regexp_extract_all(text2, '$ipRe')) AS ips,
+           | len(regexp_extract_all(text2, '$emailRe'))
+           |  + len(regexp_extract_all(text2, '$phoneRe'))
+           |  + len(regexp_extract_all(text2, '$ipRe')) AS pii_count
+           |FROM t""".stripMargin
+      },
+
+      "tag_quality" ->
+        s"""WITH w AS (SELECT doc_id, text, $wordsSql AS wl FROM documents)
+           |SELECT doc_id,
+           | cast(len(list_filter(wl, x -> lower(x) IN
+           |   ('the','be','to','of','and','a','in','that','have','with','is','it'))) AS DOUBLE)
+           |  / greatest(len(wl), 1) AS stopword_ratio,
+           | cast(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+           |  / length(text) AS punct_ratio,
+           | cast(list_sum(list_transform(wl, x -> length(x))) AS DOUBLE)
+           |  / greatest(len(wl), 1) AS mean_word_length
+           |FROM w""".stripMargin,
+
+      "tag_token_count" ->
+        s"""SELECT doc_id,
+           | len($wordsSql) AS ws_tokens,
+           | coalesce(list_sum(list_transform(regexp_extract_all(text, '$tokenRe'),
+           |   x -> (length(x)+3)//4)), 0) AS bpe_est
+           |FROM documents""".stripMargin,
+
+      "tag_langid_hits" -> {
+        def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(",")
+        val en = inList(Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"))
+        val de = inList(Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"))
+        val fr = inList(Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"))
+        val es = inList(Seq("el", "la", "los", "y", "es", "una", "que", "por", "con", "para"))
+        s"""WITH w AS (SELECT doc_id, $wordsLowerSql AS wl FROM documents)
+           |SELECT doc_id,
+           | len(list_filter(wl, x -> x IN ($en))) AS en_hits,
+           | len(list_filter(wl, x -> x IN ($de))) AS de_hits,
+           | len(list_filter(wl, x -> x IN ($fr))) AS fr_hits,
+           | len(list_filter(wl, x -> x IN ($es))) AS es_hits
+           |FROM w""".stripMargin
+      },
+
+      "doc_fingerprint" ->
+        s"""SELECT doc_id, md5(array_to_string($wordsLowerSql, ' ')) AS fingerprint
+           |FROM documents""".stripMargin,
+
+      "dedup_exact" ->
+        """SELECT doc_id,
+          | CASE WHEN row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+          |  THEN 1 ELSE 0 END AS is_dup
+          |FROM documents""".stripMargin,
+
+      "topk_bigrams" ->
+        s"""WITH toks AS (SELECT $wordsLowerSql AS w FROM documents),
+           |g AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS ngram
+           |      FROM toks)
+           |SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
+           |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+      "analyzer_histogram" ->
+        """SELECT length(cast(n_chars AS VARCHAR)) AS bucket,
+          | count(*) AS cnt, sum(n_chars) AS total_chars
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "ann_cosine_topk" ->
+        """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+          |SELECT e.vec_id,
+          | list_sum(list_transform(range(1, len(e.embedding)+1),
+          |   i -> cast(e.embedding[i] AS DOUBLE) * cast(q.qv[i] AS DOUBLE)))
+          | / (sqrt(list_sum(list_transform(e.embedding, x -> cast(x AS DOUBLE)*cast(x AS DOUBLE))))
+          |    * sqrt(list_sum(list_transform(q.qv, x -> cast(x AS DOUBLE)*cast(x AS DOUBLE)))))
+          |  AS cosine
+          |FROM embeddings e, q WHERE e.vec_id <> 0
+          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      "mixer_filter_scrub" -> {
+        val emailRe = "[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\\n\\r]"
+        val phoneRe = "\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})"
+        val ipRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+        s"""WITH t AS (SELECT doc_id, n_chars, $PiiText2Sql AS text2 FROM documents),
+           |s AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text2,
+           |    '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'), '$ipRe', '[IP]', 'g') AS content
+           | FROM t WHERE NOT (n_chars < 150))
+           |SELECT doc_id, sha256(content) AS content_sha, strlen(content) AS content_bytes
+           |FROM s WHERE strlen(trim(content)) >= 1""".stripMargin
+      }
+    ).map { case (k, v) => k -> v.replace("\n", " ") }
+  }
+}
+
+/** Lazily-trained in-repo models (deterministic, tiny; see FIXTURES.md §5). */
+object Models {
+  lazy val langId: graft.ml.FastTextClassifier = {
+    // synthetic per-language corpora with distinct character distributions
+    val rng = new scala.util.Random(7L)
+    val langWords = Map(
+      "en" -> Vector("the", "and", "with", "that", "have", "from", "this", "value", "data", "stream"),
+      "de" -> Vector("der", "die", "und", "nicht", "mit", "wert", "daten", "strom", "ein", "zu"),
+      "fr" -> Vector("le", "la", "et", "est", "une", "pour", "dans", "valeur", "flux", "des"),
+      "es" -> Vector("el", "la", "los", "que", "por", "con", "para", "valor", "datos", "una"),
+      "zh" -> Vector("的", "是", "了", "在", "我", "有", "和", "不", "这", "人"))
+    val examples = for {
+      (lang, ws) <- langWords.toSeq.sortBy(_._1)
+      _ <- 1 to 40
+    } yield lang -> (1 to 20).map(_ => ws(rng.nextInt(ws.length))).mkString(" ")
+    graft.ml.FastTextClassifier.train(examples, dim = 16, epochs = 8, seed = 7L)
+  }
+
+  lazy val codeLm: graft.ml.KenLm = {
+    // train on clean synthetic code (the in-distribution corpus)
+    val corpus = (0L until 200L).map(i =>
+      graft.sources.CodeDocs.makeDoc(i, 1234L, 200L).content)
+    graft.ml.KenLm.train(corpus, order = 3)
+  }
 }

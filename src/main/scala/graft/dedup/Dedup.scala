@@ -1,0 +1,123 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication — the reference's only cross-document operator
+  * (/root/reference/src/deduper.rs, src/bloom_filter.rs).
+  *
+  * The reference shares one Bloom filter across threads and labels any
+  * re-seen key a duplicate (probe-then-insert, deduper.rs:289-305). The
+  * Spark-native equivalent is a first-occurrence window: shuffle on the
+  * key, keep the first row in a deterministic order, label the rest. This
+  * is EXACT (no false positives, unlike the BF whose FP rate is the
+  * configured 1e-4); [[DistributedBloom]] provides the BF-faithful
+  * memory-bounded alternative.
+  *
+  * Scale notes (100 TB): the window shuffles once on the dedup key — same
+  * cost class as the reference's `num_partitions` manual key routing
+  * (deduper.rs:97-111). Skewed keys (empty strings, giant duplicate
+  * clusters) are handled by the skip rules below (min length / skip empty,
+  * deduper.rs:261-276) which drop the pathological keys before the
+  * shuffle, plus AQE skew handling for the rest.
+  */
+object Dedup {
+
+  /** Doc-level dedup: adds `is_duplicate` (first occurrence in
+    * `orderCol` order wins — the positional order the reference gets from
+    * its sequential file walk). Skip rules mirror deduper.rs:261-276:
+    * too-short or empty keys are never marked duplicates. */
+  def markDuplicates(
+      df: DataFrame,
+      keyCol: Column,
+      orderCol: Column,
+      minLength: Int = 0,
+      skipEmpty: Boolean = false): DataFrame = {
+    val eligible = (if (skipEmpty) trim(keyCol) =!= "" else lit(true)) &&
+      (length(keyCol) >= minLength)
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    df.withColumn("__eligible", eligible)
+      .withColumn("is_duplicate",
+        col("__eligible") && row_number().over(w) > 1)
+      .drop("__eligible")
+  }
+
+  /** groupBy-based exact dedup keeping the min-ordinal row: cheaper than a
+    * window when the payload is wide (partial aggregation pre-shuffle). */
+  def firstOccurrences(df: DataFrame, keyCol: Column, orderCol: Column): DataFrame = {
+    val keyed = df.withColumn("__key", keyCol).withColumn("__ord", orderCol)
+    val firsts = keyed.groupBy(col("__key"))
+      .agg(min(col("__ord")).as("__first_ord"))
+    keyed.join(firsts,
+        keyed("__key") === firsts("__key") && keyed("__ord") === firsts("__first_ord"))
+      .drop("__key", "__ord", "__first_ord")
+  }
+
+  /** Paragraph-level dedup (deduper.rs:320-379): explode paragraphs
+    * (separator `\n`), mark re-seen paragraph texts; emits one row per
+    * duplicate paragraph with its span — the attribute the reference
+    * writes. Returns `(id, para_index, start, end, is_duplicate)`. */
+  def paragraphDuplicates(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      orderCol: Column): DataFrame = {
+    val paras = df
+      .select(idCol.as("id"), orderCol.as("__ord"),
+        posexplode(split(textCol, "\n")).as(Seq("para_index", "para")))
+    val w = Window.partitionBy(col("para")).orderBy(col("__ord"), col("para_index"))
+    paras
+      .withColumn("is_duplicate",
+        trim(col("para")) =!= "" && row_number().over(w) > 1)
+      .drop("__ord")
+  }
+
+  /** N-gram-overlap paragraph dedup (deduper.rs:380-466): uniseg-style
+    * tokenize each paragraph, hash every `n`-gram with `stride`, compute
+    * the fraction of n-grams already seen in OTHER documents; fraction ≥
+    * threshold → duplicate paragraph. Short paragraphs (< n tokens) fall
+    * back to whole-paragraph comparison (deduper.rs:421-452).
+    * Two shuffles: ngram first-occurrence, then per-paragraph rollup. */
+  def ngramOverlapDuplicates(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      orderCol: Column,
+      n: Int = 8,
+      stride: Int = 0,
+      threshold: Double = 0.7): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val paras = df.select(
+      idCol.as("id"), orderCol.as("__ord"),
+      posexplode(split(textCol, "\n")).as(Seq("para_index", "para")))
+      .filter(trim($"para") =!= "")
+
+    val step = math.max(1, stride)
+    // words → n-gram hashes; short paragraphs hash whole text (fallback)
+    val grams = paras.select($"id", $"__ord", $"para_index",
+      explode(ngramHashes($"para", n, step)).as("gram"))
+
+    val w = Window.partitionBy($"gram").orderBy($"__ord", $"para_index")
+    val marked = grams.withColumn("dup", row_number().over(w) > 1)
+
+    marked.groupBy($"id", $"para_index")
+      .agg(count(lit(1)).as("total"), sum(when($"dup", 1).otherwise(0)).as("dups"))
+      .withColumn("overlap_fraction", $"dups" / $"total")
+      .withColumn("is_duplicate", $"overlap_fraction" >= threshold)
+  }
+
+  /** Expression building the n-gram hash array of a paragraph: tokenize on
+    * whitespace, xxhash64 each n-token window at the given stride; a
+    * paragraph with < n tokens yields one hash of the whole token list. */
+  def ngramHashes(para: Column, n: Int, stride: Int): Column = {
+    val toks = filter(split(para, "\\s+"), t => t =!= "")
+    val numToks = size(toks)
+    val starts = sequence(lit(0), greatest(numToks - n, lit(0)), lit(stride))
+    when(numToks < n, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(starts, s =>
+        xxhash64(concat_ws(" ", slice(toks, s + 1, lit(n))))))
+  }
+}

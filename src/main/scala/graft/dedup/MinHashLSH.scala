@@ -1,0 +1,90 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection (Broder 1997 resemblance
+  * sketches; banding per Leskovec/Rajaraman/Ullman MMDS ch.3) — the scale
+  * path for near-dedup the reference approximates with n-gram Bloom
+  * probes (/root/reference/src/deduper.rs:380-466).
+  *
+  * Pipeline (all expressed as Catalyst columns, no UDFs):
+  *   shingle (word k-grams) → 64-bit hash → `numPerms` minhashes via the
+  *   1-permutation rotation trick (xxhash64 with per-perm seed) → split
+  *   into `bands` × `rowsPerBand` → explode bands → shuffle on band hash →
+  *   candidate pairs within a bucket → exact Jaccard verify.
+  *
+  * Scale: the only wide ops are the band-bucket groupBy and the pair
+  * self-join inside buckets; bucket sizes are bounded by banding (tune
+  * bands/rows for target similarity s ≈ (1/b)^(1/r)). Giant buckets from
+  * degenerate content (empty/boilerplate) are capped by `maxBucketSize`.
+  */
+object MinHashLSH {
+
+  /** Shingle hashes: xxhash64 of each k-word window. */
+  def shingleHashes(textCol: Column, k: Int): Column = {
+    val toks = filter(split(lower(textCol), "\\s+"), t => t =!= "")
+    val starts = sequence(lit(0), greatest(size(toks) - k, lit(0)), lit(1))
+    array_distinct(
+      when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
+        .otherwise(transform(starts, s =>
+          xxhash64(concat_ws(" ", slice(toks, s + 1, lit(k)))))))
+  }
+
+  /** MinHash signature: for each of `numPerms` seeded hash functions, the
+    * min over shingles. h_i(x) = xxhash64(x, seed=i) via re-hashing the
+    * shingle hash with the permutation index. */
+  def signature(shingles: Column, numPerms: Int): Column = {
+    val perms = (0 until numPerms).map { i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))
+    }
+    array(perms: _*)
+  }
+
+  /** Documents → (id, band, bandHash) rows. */
+  def bandedBuckets(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+    val rowsPerBand = numPerms / bands
+    require(bands * rowsPerBand == numPerms, "bands must divide numPerms")
+    val sig = signature(shingleHashes(textCol, k), numPerms)
+    val withSig = df.select(idCol.as("id"), sig.as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("bucket"))
+    }
+    withSig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Candidate near-duplicate pairs with estimated Jaccard from signature
+    * agreement, deduplicated across bands. `maxBucketSize` guards against
+    * degenerate buckets (skew guard). */
+  def nearDuplicatePairs(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, numPerms: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = bandedBuckets(df, idCol, textCol, k, numPerms, bands)
+    val capped = buckets
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__bsize") <= maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
+          .cast("double") / lit(numPerms)).as("est_jaccard"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  /** Exact n-gram Jaccard between two texts (verification stage). */
+  def exactJaccard(aText: Column, bText: Column, k: Int): Column = {
+    val a = shingleHashes(aText, k)
+    val b = shingleHashes(bText, k)
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+  }
+}

@@ -1,0 +1,97 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - [[cosineTopK]]: brute-force exact top-k against a literal query
+  *   vector — one narrow scan + a k-row `orderBy.limit` (Spark turns it
+  *   into TakeOrderedAndProject: per-partition heaps, no full sort).
+  * - [[lshBucketedTopK]]: random-hyperplane LSH (Charikar 2002) scale path
+  *   — probe only the query's bucket(s), trading recall for a ~2^bits scan
+  *   reduction; at 100 TB the bucket column is a partition key so the
+  *   probe prunes files instead of scanning them.
+  * - [[ivfAssign]]: IVF-style coarse quantization — assign each vector to
+  *   the nearest of `centroids`; search probes only the closest lists.
+  *
+  * All distance math is Catalyst (`zip_with`/`aggregate` folds) — stays in
+  * whole-stage codegen, no UDF boxing.
+  */
+object Ann {
+
+  /** Dot product of an array<double|float> column with a literal vector. */
+  def dotLiteral(vec: Column, q: Seq[Double]): Column = {
+    val qCol = array(q.map(lit): _*)
+    aggregate(zip_with(vec, qCol, (a, b) => a.cast("double") * b), lit(0.0), (acc, x) => acc + x)
+  }
+
+  def norm(vec: Column): Column =
+    sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosineLiteral(vec: Column, q: Seq[Double]): Column = {
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    dotLiteral(vec, q) / (norm(vec) * lit(qNorm))
+  }
+
+  /** Exact top-k cosine neighbors of `query`. */
+  def cosineTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      query: Seq[Double], k: Int): DataFrame =
+    df.select(idCol.as("id"), cosineLiteral(vecCol, query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+
+  /** Pairwise cosine between two embedding columns (for joins). */
+  def cosine(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x) / (norm(a) * norm(b))
+
+  /** Random-hyperplane signature: `bits` sign bits of projections onto
+    * deterministic pseudo-random hyperplanes (seeded by index — no stored
+    * model). Returns a long bucket id. */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
+      val proj = aggregate(
+        zip_with(vec, array(plane.map(lit).toIndexedSeq: _*), (a, b) => a.cast("double") * b),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed approximate top-k: scan only rows whose bucket matches
+    * the query's bucket (multi-probe: plus buckets at Hamming distance 1).
+    */
+  def lshBucketedTopK(df: DataFrame, idCol: Column, vecCol: Column,
+      query: Seq[Double], k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
+    val dim = query.length
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    var qBucket = 0L
+    planes.zipWithIndex.foreach { case (plane, i) =>
+      val proj = plane.zip(query).map { case (p, x) => p * x }.sum
+      if (proj >= 0) qBucket |= (1L << i)
+    }
+    val probes = qBucket +: (0 until bits).map(i => qBucket ^ (1L << i))
+    val bucketCol = hyperplaneBucket(vecCol, dim, bits, seed)
+    df.withColumn("__bucket", bucketCol)
+      .filter(col("__bucket").isin(probes: _*))
+      .select(idCol.as("id"), cosineLiteral(vecCol, query).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
+  /** IVF coarse assignment: index of the nearest centroid (L2). Centroids
+    * are passed as literals (k-means init = deterministic sample rows). */
+  def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dists = centroids.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(
+        zip_with(vec, array(c.map(lit): _*), (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("dist"), lit(i).as("idx"))
+    }
+    array_min(array(dists: _*)).getField("idx")
+  }
+}

@@ -1,0 +1,146 @@
+package graft.taggers
+
+import graft.core.{CodePoints, Span, TextSplit}
+
+import scala.collection.mutable
+
+/** Gopher quality heuristics
+  * (/root/reference/python/dolma/taggers/gopher.py:125-233): 13 attributes
+  * per document covering word stats, n-gram repetition fractions, and line
+  * duplication. Exact float semantics preserved (robust_median at
+  * gopher.py:18-21; character_count = sum of word lengths for n-gram
+  * fractions, gopher.py:146).
+  */
+final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
+  val name: String = if (ignoreEmptyLines) "gopher_v2" else "gopher_v1"
+
+  // SYMBOLS = {"#", "…"}; BULLET_POINTS = {"*", "-"} (gopher.py:13-15)
+  private val RequiredWords =
+    Set("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+    val charCount = CodePoints.length(text)
+    if (charCount == 0) return Vector(
+      Span(0, 0, "character_count", 0.0),
+      Span(0, 0, "word_count", 0.0),
+      Span(0, 0, "median_word_length", 0.0),
+      Span(0, 0, "symbol_to_word_ratio", 0.0),
+      Span(0, 0, "fraction_of_words_with_alpha_character", 0.0),
+      Span(0, 0, "required_word_count", 0.0),
+      Span(0, 0, "fraction_of_lines_starting_with_bullet_point", 0.0),
+      Span(0, 0, "fraction_of_lines_ending_with_ellipsis", 0.0),
+      Span(0, 0, "fraction_of_duplicate_lines", 0.0),
+      Span(0, 0, "fraction_of_characters_in_duplicate_lines", 0.0))
+
+    val words = TextSplit.pythonSplit(text)
+    val wordCount = words.length
+    val wordLens = words.map(CodePoints.length)
+    val characterCount = wordLens.sum // sum of word lengths (gopher.py:142)
+
+    val medianWordLength = GopherTagger.robustMedian(wordLens)
+    val symbolWords = words.count(w => w.exists(c => c == '#' || c == '…'))
+    val symbolToWordRatio = symbolWords.toDouble / math.max(wordCount, 1)
+    val alphaWords = words.count(_.exists(Character.isLetter))
+    val fracAlpha = alphaWords.toDouble / math.max(wordCount, 1)
+    val requiredCount = words.count(RequiredWords.contains)
+
+    val spans = Vector.newBuilder[Span]
+
+    // n-gram fractions (gopher.py:147-176): n in 2..10; {2,3,4} = fraction
+    // of chars in MOST COMMON n-gram, {5..10} = fraction in DUPLICATE
+    // n-grams (denominator = total n-gram chars).
+    var n = 2
+    while (n <= 10) {
+      if (wordCount >= n) {
+        val counts = mutable.HashMap.empty[Seq[String], Int]
+        var i = 0
+        while (i + n <= wordCount) {
+          val key: Seq[String] = words.view.slice(i, i + n).toIndexedSeq
+          counts.update(key, counts.getOrElse(key, 0) + 1)
+          i += 1
+        }
+        if (n <= 4) {
+          // most_common(1) breaks ties by insertion order (first seen wins)
+          var best: Seq[String] = null
+          var bestCount = -1
+          i = 0
+          val seen = mutable.HashSet.empty[Seq[String]]
+          while (i + n <= wordCount) {
+            val key: Seq[String] = words.view.slice(i, i + n).toIndexedSeq
+            if (!seen.contains(key)) {
+              seen += key
+              val c = counts(key)
+              if (c > bestCount) { bestCount = c; best = key }
+            }
+            i += 1
+          }
+          val value = bestCount.toDouble * best.map(CodePoints.length).sum /
+            math.max(characterCount, 1)
+          spans += Span(0, charCount, s"fraction_of_characters_in_most_common_${n}grams", value)
+        } else {
+          var totalChars = 0L
+          var dupChars = 0L
+          counts.foreach { case (ng, c) =>
+            val chars = c.toLong * ng.map(CodePoints.length).sum
+            totalChars += chars
+            if (c > 1) dupChars += chars
+          }
+          val value = dupChars.toDouble / math.max(totalChars, 1L)
+          spans += Span(0, charCount, s"fraction_of_characters_in_duplicate_${n}grams", value)
+        }
+      }
+      n += 1
+    }
+
+    // line stats (gopher.py:177-197); v2 splits on \n+ (keeps boundary
+    // empties like Python re.split), v1 on single \n.
+    val lines: Array[String] =
+      if (ignoreEmptyLines) GopherTagger.splitNewlineRuns(text)
+      else TextSplit.splitNewline(text)
+    val lineCount = lines.length
+    val bulletFrac = lines.count(l => l.startsWith("*") || l.startsWith("-")).toDouble /
+      math.max(lineCount, 1)
+    val ellipsisFrac = lines.count(_.endsWith("…")).toDouble / math.max(lineCount, 1)
+
+    val lineCounts = mutable.HashMap.empty[String, Int]
+    lines.foreach(l => lineCounts.update(l, lineCounts.getOrElse(l, 0) + 1))
+    var dupLines = 0
+    var dupLineChars = 0L
+    lineCounts.foreach { case (l, c) =>
+      if (c > 1) { dupLines += c; dupLineChars += c.toLong * CodePoints.length(l) }
+    }
+    val fracDupLines = dupLines.toDouble / math.max(lineCount, 1)
+    val fracCharsDupLines = dupLineChars.toDouble / math.max(characterCount, 1)
+
+    spans += Span(0, charCount, "character_count", charCount.toDouble)
+    spans += Span(0, charCount, "word_count", wordCount.toDouble)
+    spans += Span(0, charCount, "median_word_length", medianWordLength)
+    spans += Span(0, charCount, "symbol_to_word_ratio", symbolToWordRatio)
+    spans += Span(0, charCount, "fraction_of_words_with_alpha_character", fracAlpha)
+    spans += Span(0, charCount, "required_word_count", requiredCount.toDouble)
+    spans += Span(0, charCount, "fraction_of_lines_starting_with_bullet_point", bulletFrac)
+    spans += Span(0, charCount, "fraction_of_lines_ending_with_ellipsis", ellipsisFrac)
+    spans += Span(0, charCount, "fraction_of_duplicate_lines", fracDupLines)
+    spans += Span(0, charCount, "fraction_of_characters_in_duplicate_lines", fracCharsDupLines)
+    spans.result()
+  }
+}
+
+object GopherTagger {
+  /** statistics.median with empty→0.0 (gopher.py:18-21). */
+  def robustMedian(values: Seq[Int]): Double = {
+    if (values.isEmpty) return 0.0
+    val sorted = values.sorted
+    val n = sorted.length
+    if (n % 2 == 1) sorted(n / 2).toDouble
+    else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+  }
+
+  /** Python `re.split(r"\n+", text)`: empties only at boundaries. */
+  def splitNewlineRuns(text: String): Array[String] = text.split("\n+", -1)
+
+  def registerAll(): Unit = {
+    TaggerRegistry.register("gopher_v1")(new GopherTagger(ignoreEmptyLines = false))
+    TaggerRegistry.register("gopher_v2")(new GopherTagger(ignoreEmptyLines = true))
+  }
+}

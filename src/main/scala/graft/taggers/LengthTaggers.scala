@@ -1,0 +1,102 @@
+package graft.taggers
+
+import graft.core.{CodePoints, Span, TextSplit}
+
+import java.nio.charset.StandardCharsets
+
+/** Length/count taggers
+  * (/root/reference/python/dolma/taggers/length.py:21-121).
+  * All offsets/lengths are Unicode code points except `bytes_length_v1`
+  * (UTF-8 bytes, length.py:21-25).
+  */
+object LengthTaggers {
+
+  final class CharLengthV1 extends Tagger {
+    val name = "char_length_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val n = CodePoints.length(text)
+      Vector(Span(0, n, "length", n.toDouble))
+    }
+  }
+
+  final class CharLengthStripWsV1 extends Tagger {
+    val name = "char_length_strip_ws_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val n = CodePoints.length(text)
+      Vector(Span(0, n, "length_no_ws", CodePoints.length(text.trim).toDouble))
+    }
+  }
+
+  final class BytesLengthV1 extends Tagger {
+    val name = "bytes_length_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val n = CodePoints.length(text)
+      Vector(Span(0, n, "bytes", text.getBytes(StandardCharsets.UTF_8).length.toDouble))
+    }
+  }
+
+  final class DocCountV1 extends Tagger {
+    val name = "doc_count_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] =
+      Vector(Span(0, CodePoints.length(text), "docs", 1.0))
+  }
+
+  /** `len(re.split(r"\w+|[^\w\s]+", text))` — segment count including
+    * empties (length.py:58-64). */
+  final class WhitespaceTokenizerV1 extends Tagger {
+    val name = "whitespace_tokenizer_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] =
+      Vector(Span(0, CodePoints.length(text), "length",
+        TextSplit.regexSplitCount(text).toDouble))
+  }
+
+  /** Per-paragraph char lengths + doc length (length.py:48-55). */
+  final class CharLengthWithParagraphsV1 extends Tagger {
+    val name = "char_length_with_paragraphs_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val paras = TextSplit.splitParagraphs(text)
+      val spans = paras.map(p => Span(p.start, p.end, "paragraph", (p.end - p.start).toDouble))
+      spans :+ Span(0, CodePoints.length(text), "document", CodePoints.length(text).toDouble)
+    }
+  }
+
+  /** Uniseg-style word counts per paragraph, with the reference's
+    * negative-length quirk kept (length.py:85-103: mixer can only do
+    * greater-than, so negated lengths enable "shorter-than" filters). */
+  final class UnisegLengthParagraphsV1(withEmpty: Boolean = false, withDocLength: Boolean = false)
+      extends Tagger {
+    val name =
+      if (withDocLength) "uniseg_length_paragraphs_with_doc_length_v1"
+      else if (withEmpty) "uniseg_length_paragraphs_with_empty_v1"
+      else "uniseg_length_paragraphs_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val paras = TextSplit.splitParagraphs(text, removeEmpty = !withEmpty)
+      val spans = paras.flatMap { p =>
+        val len = TextSplit.unisegWordCount(p.text.trim)
+        Vector(
+          Span(p.start, p.end, "paragraph", len.toDouble),
+          Span(p.start, p.end, "negative_paragraph", -len.toDouble))
+      }
+      if (withDocLength) {
+        val pos = spans.filter(_.typ == "paragraph").map(_.score).sum
+        val neg = spans.filter(_.typ == "negative_paragraph").map(_.score).sum
+        val n = CodePoints.length(text)
+        spans ++ Vector(Span(0, n, "document", pos), Span(0, n, "negative_document", neg))
+      } else spans
+    }
+  }
+
+  def registerAll(): Unit = {
+    TaggerRegistry.register("char_length_v1")(new CharLengthV1)
+    TaggerRegistry.register("char_length_strip_ws_v1")(new CharLengthStripWsV1)
+    TaggerRegistry.register("bytes_length_v1")(new BytesLengthV1)
+    TaggerRegistry.register("doc_count_v1")(new DocCountV1)
+    TaggerRegistry.register("whitespace_tokenizer_v1")(new WhitespaceTokenizerV1)
+    TaggerRegistry.register("char_length_with_paragraphs_v1")(new CharLengthWithParagraphsV1)
+    TaggerRegistry.register("uniseg_length_paragraphs_v1")(new UnisegLengthParagraphsV1())
+    TaggerRegistry.register("uniseg_length_paragraphs_with_empty_v1")(
+      new UnisegLengthParagraphsV1(withEmpty = true))
+    TaggerRegistry.register("uniseg_length_paragraphs_with_doc_length_v1")(
+      new UnisegLengthParagraphsV1(withDocLength = true))
+  }
+}
