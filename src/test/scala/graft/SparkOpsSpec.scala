@@ -1,0 +1,141 @@
+package graft
+
+import graft.dedup.{Dedup, MinHashLSH, SimHash}
+import graft.functions.{Analyzer, SpanScrubber}
+import graft.mixer.Mixer
+import graft.operators.TagRunner
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact dedup: first occurrence wins, skip rules honored") {
+    val df = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "unique"), (4L, ""), (5L, "")
+    ).toDF("id", "text")
+    val out = Dedup.markDuplicates(df, col("text"), col("id"), skipEmpty = true)
+      .select("id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false, 5L -> false))
+  }
+
+  test("paragraph dedup marks re-seen paragraphs across docs") {
+    val df = Seq(
+      (1L, "alpha\nshared para\nbeta"),
+      (2L, "shared para\ngamma")
+    ).toDF("id", "text")
+    val out = Dedup.paragraphDuplicates(df, col("id"), col("text"), col("id"))
+      .filter(col("is_duplicate"))
+      .select("id", "para").as[(Long, String)].collect().toSeq
+    assert(out == Seq((2L, "shared para")))
+  }
+
+  test("ngram overlap dedup: full clone crosses threshold, fresh text does not") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, other)).toDF("id", "text")
+    val out = Dedup.ngramOverlapDuplicates(df, col("id"), col("text"), col("id"),
+      n = 8, stride = 0, threshold = 0.7)
+      .select("id", "is_duplicate").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("minhash LSH finds planted near-duplicate pair") {
+    val a = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val nearA = ((1 to 47).map(i => s"tok$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val far = (200 to 250).map(i => s"tok$i").mkString(" ")
+    val df = Seq(("a", a), ("b", nearA), ("c", far)).toDF("id", "text")
+    val pairs = MinHashLSH.nearDuplicatePairs(df, col("id"), col("text"),
+      k = 3, numPerms = 32, bands = 16, minJaccard = 0.3)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(pairs.contains(("a", "b")))
+    assert(!pairs.exists(p => p._1 == "c" || p._2 == "c"))
+  }
+
+  test("simhash: identical texts at distance 0, unrelated not paired") {
+    val df = Seq(("a", "the quick brown fox jumps"), ("b", "the quick brown fox jumps"),
+      ("c", "entirely different words everywhere here")).toDF("id", "text")
+    val pairs = SimHash.nearDuplicatePairs(df, col("id"), col("text"), maxDistance = 3)
+      .as[(String, String, Long)].collect()
+    assert(pairs.exists(p => p._1 == "a" && p._2 == "b" && p._3 == 0))
+  }
+
+  test("scrub expression in a DataFrame pipeline (email-spans golden case)") {
+    // mirrors tests/config/email-spans.json: [B-EMAIL]{}[E-EMAIL] template
+    val df = Seq(("d1", "write to alice@example.com today")).toDF("id", "content")
+    val spans = array(struct(lit(9L).as("start"), lit(26L).as("end"),
+      lit("[B-EMAIL]{}[E-EMAIL]").as("template")))
+    val out = df.select(SpanScrubber.scrubSpans(col("content"), spans).as("t"))
+      .as[String].head()
+    assert(out == "write to [B-EMAIL]alice@example.com[E-EMAIL] today")
+  }
+
+  test("TagRunner: fused taggers produce mangled attribute map with rounding") {
+    val df = Seq(("1", "This is a test.")).toDF("id", "content")
+    val attrs = TagRunner.tag(df, Seq("gopher_v1", "char_length_v1"), "exp")
+    val row = attrs.collect()(0)
+    val m = row.getMap[String, Seq[org.apache.spark.sql.Row]](1)
+    assert(m.contains("exp__gopher_v1__word_count"))
+    assert(m.contains("exp__char_length_v1__length"))
+    val mc3 = m("exp__gopher_v1__fraction_of_characters_in_most_common_3grams").head
+    assert(mc3.getDouble(2) == 0.58333) // 5-decimal rounding (taggers.py:22)
+  }
+
+  test("mixer: include/exclude predicate semantics (filters.rs:327-385)") {
+    val df = Seq(
+      ("keep1", 10.0, 0.1), ("drop_exc", 10.0, 0.9), ("drop_inc", 1.0, 0.1)
+    ).toDF("id", "len", "tox")
+    val cfg = Mixer.MixerConfig(
+      include = Seq(col("len") > 5.0),
+      exclude = Seq(col("tox") > 0.5))
+    val kept = df.filter(Mixer.keepPredicate(cfg)).select("id").as[String].collect().toSet
+    assert(kept == Set("keep1"))
+    // empty include = keep all (minus excludes); null-safe
+    val cfg2 = Mixer.MixerConfig(exclude = Seq(col("tox") > 0.5))
+    assert(df.filter(Mixer.keepPredicate(cfg2)).count() == 2)
+  }
+
+  test("mixer: attribute merge is a left join; missing attrs tolerated") {
+    val docs = Seq(("d1", "text one"), ("d2", "text two")).toDF("id", "content")
+    val attrs = TagRunner.tag(Seq(("d1", "text one")).toDF("id", "content"),
+      Seq("char_length_v1"), "e")
+    val merged = Mixer.mergeAttributes(docs, Seq(attrs))
+    assert(merged.count() == 2) // d2 survives with empty attributes
+    val d2attrs = merged.filter(col("id") === "d2")
+      .select(size(map_keys(col("attributes")))).as[Int].head()
+    assert(d2attrs == 0)
+  }
+
+  test("histogram aggregator: merge associative + matches expression form") {
+    val agg = new Analyzer.HistogramAggregator(10, 1.0)
+    val xs = Seq(0.5, 0.25, 2.0, 100.0, 0.5)
+    val parts = xs.grouped(2).map(_.foldLeft(agg.zero)(agg.reduce)).toList
+    val merged1 = parts.foldLeft(agg.zero)(agg.merge)
+    val merged2 = parts.reverse.foldLeft(agg.zero)(agg.merge)
+    assert(merged1 == merged2)
+    assert(merged1.values.sum == xs.length)
+    // cap at 1.0: 2.0 and 100.0 land in the 1.0 bucket (analyzer.py:126-133)
+    assert(merged1(agg.bucketOf(1.0)) >= 2)
+  }
+
+  test("top-k ngrams: exact counts with deterministic tie-break") {
+    val df = Seq("a b a b", "a b c").toDF("text")
+    val top = Analyzer.topKNgrams(df, col("text"), 2, 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("ANN: brute force and LSH agree on the top hit for a planted vector") {
+    val target = Seq.fill(8)(1.0)
+    val rows = (1 to 40).map { i =>
+      val rng = new scala.util.Random(i)
+      (i.toLong, Array.fill(8)(rng.nextGaussian().toFloat))
+    } :+ (99L, target.map(_.toFloat).toArray)
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = graft.similarity.Ann.cosineTopK(df, col("vec_id"), col("embedding"), target, 1)
+      .select("id").as[Long].head()
+    assert(exact == 99L)
+  }
+}
