@@ -335,6 +335,54 @@ object SparkEntry {
         }.toDF("doc_id", "predicted_lang", "prob")
     }),
 
+    // structured-streaming execution of the q5 aggregation: same answer,
+    // incremental engine (AvailableNow drains the source then stops)
+    "streaming_events_window" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("bucket", expr("unix_micros(cast(ts as timestamp)) div 300000000"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      val name = s"graft_stream_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
+    "multimodal_features" -> ((s, _) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.syntheticMedia(s, 200L))
+        .select(col("id"), col("media_type"), col("width"), col("height"), col("n_frames"))),
+
+    "mixer_predicate_compiler" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+      val attrs = TagRunner.tag(d, Seq("gopher_v2"), "t", idCol = "id",
+        textCol = "text", roundScores = false)
+      val merged = Mixer.mergeAttributes(d.select(col("id"), col("doc_id")), Seq(attrs))
+      merged.filter(graft.mixer.PredicateCompiler.keep(
+        include = Seq("$.attributes.t__gopher_v2__word_count[0][2] > 30"),
+        exclude = Seq("$.attributes.t__gopher_v2__required_word_count[0].score >= 5")))
+        .select(col("doc_id"))
+    }),
+
+    "dedup_bloom_probe" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val keys = d.filter(col("doc_id") % 2 === 0)
+        .select(col("text")).as[String]
+      val bf = graft.dedup.DistributedBloom.build(keys, 10000L, 1e-4)
+      val pairs = d.select(col("doc_id").cast("string"), col("text"))
+        .as[(String, String)]
+      graft.dedup.DistributedBloom.probe(s, pairs, bf)
+        .toDF("doc_id", "might_contain")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("might_contain").cast("long").as("might_contain"))
+    }),
+
     "kenlm_perplexity" -> ((s, dir) => {
       val lm = Models.codeLm
       val bc = s.sparkContext.broadcast(lm)
@@ -388,6 +436,20 @@ object SparkEntry {
         """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
           | count(*) AS n, sum(cast(floor(value*100) AS BIGINT)) AS value_cents
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "streaming_events_window" ->
+        """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
+          | count(*) AS n, sum(cast(floor(value*100) AS BIGINT)) AS value_cents
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "mixer_predicate_compiler" ->
+        """SELECT doc_id FROM (
+          | SELECT doc_id,
+          |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS wc,
+          |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '' AND x IN
+          |    ('the','be','to','of','and','that','have','with'))) AS req
+          | FROM documents)
+          |WHERE wc > 30 AND NOT (req >= 5)""".stripMargin,
 
       "tag_lengths" ->
         s"""SELECT doc_id,

@@ -31,22 +31,18 @@ object MinHashLSH {
           xxhash64(concat_ws(" ", slice(toks, s + 1, lit(k)))))))
   }
 
-  /** MinHash signature: for each of `numPerms` seeded hash functions, the
-    * min over shingles. h_i(x) = xxhash64(x, seed=i) via re-hashing the
-    * shingle hash with the permutation index. */
-  def signature(shingles: Column, numPerms: Int): Column = {
-    val perms = (0 until numPerms).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }
-    array(perms: _*)
-  }
+  /** MinHash signature over k-word shingles: one-pass custom expression
+    * (see [[graft.functions.MinHashSigExpr]] — the numPerms×transform
+    * Catalyst formulation re-walks the shingle array per permutation). */
+  def signature(textCol: Column, k: Int, numPerms: Int): Column =
+    graft.functions.Hashing.minhashSignature(textCol, k, numPerms)
 
   /** Documents → (id, band, bandHash) rows. */
   def bandedBuckets(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
     val rowsPerBand = numPerms / bands
     require(bands * rowsPerBand == numPerms, "bands must divide numPerms")
-    val sig = signature(shingleHashes(textCol, k), numPerms)
+    val sig = signature(textCol, k, numPerms)
     val withSig = df.select(idCol.as("id"), sig.as("sig"))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),

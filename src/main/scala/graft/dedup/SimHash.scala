@@ -15,20 +15,11 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash of the whitespace token multiset of `textCol`. */
-  def simhash64(textCol: Column): Column = {
-    val toks = filter(split(lower(textCol), "\\s+"), t => t =!= "")
-    val hashes = transform(toks, t => xxhash64(t))
-    // fold: for each bit, sum +1/-1 votes; sign at the end
-    val votes = (0 until 64).map { bit =>
-      aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    }
-    val bits = votes.zipWithIndex.map { case (v, bit) =>
-      when(v > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  /** 64-bit simhash of the whitespace token multiset of `textCol`
+    * (one-pass custom expression — the 64×`aggregate` Catalyst fold
+    * re-walks the token array per bit). */
+  def simhash64(textCol: Column): Column =
+    graft.functions.Hashing.simhash64(textCol)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass sketch expressions. The naive Catalyst formulations
+  * (numPerms × `transform` + `array_min`, or 64 × `aggregate` bit folds)
+  * re-walk the token array once per permutation/bit — a 32–64× blowup that
+  * also explodes codegen size. These expressions do one pass per row in a
+  * tight JVM loop; CodegenFallback costs one virtual call per row, noise
+  * compared to the per-row work.
+  */
+object Hashing {
+
+  /** splitmix64 finalizer — cheap, well-mixed 64-bit hash step. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit hash of a char subsequence (FNV-1a + final mix). */
+  def hashChars(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong & 0xffffL
+      h *= 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Lowercase whitespace tokens as (start, end) offsets — allocation-light. */
+  def tokenOffsets(s: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int](64)
+    var i = 0
+    val n = s.length
+    var start = -1
+    while (i < n) {
+      val ws = Character.isWhitespace(s.charAt(i))
+      if (ws) { if (start >= 0) { out += start; out += i; start = -1 } }
+      else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) { out += start; out += n }
+    out.toArray
+  }
+
+  def minhashSignature(text: Column, shingleK: Int, numPerms: Int): Column =
+    Bridge.toColumn(MinHashSigExpr(Bridge.toExpr(text), shingleK, numPerms))
+
+  def simhash64(text: Column): Column =
+    Bridge.toColumn(SimHash64Expr(Bridge.toExpr(text)))
+}
+
+/** MinHash signature (Broder 1997) of the k-word-shingle set: base 64-bit
+  * hash per shingle, permutations via universal hashing
+  * `h_i = mix(h ^ C_i)`. One pass over tokens; O(shingles × perms) mixes.
+  */
+case class MinHashSigExpr(child: Expression, shingleK: Int, numPerms: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private lazy val seeds: Array[Long] =
+    Array.tabulate(numPerms)(i => Hashing.mix64(0x9e3779b97f4a7c15L * (i + 1)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val offs = Hashing.tokenOffsets(s)
+    val nTok = offs.length / 2
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    if (nTok == 0) return new GenericArrayData(mins)
+
+    @inline def shingleHash(from: Int, untilTok: Int): Long = {
+      // hash the concatenation of tokens [from, untilTok) with separators
+      var h = 0xcbf29ce484222325L
+      var t = from
+      while (t < untilTok) {
+        var i = offs(2 * t)
+        val end = offs(2 * t + 1)
+        while (i < end) {
+          h ^= s.charAt(i).toLong & 0xffffL
+          h *= 0x100000001b3L
+          i += 1
+        }
+        h ^= 0x20L
+        h *= 0x100000001b3L
+        t += 1
+      }
+      Hashing.mix64(h)
+    }
+
+    val nShingles = if (nTok < shingleK) 1 else nTok - shingleK + 1
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      val base =
+        if (nTok < shingleK) shingleHash(0, nTok)
+        else shingleHash(sIdx, sIdx + shingleK)
+      var p = 0
+      while (p < numPerms) {
+        val h = Hashing.mix64(base ^ seeds(p))
+        if (h < mins(p)) mins(p) = h
+        p += 1
+      }
+      sIdx += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit SimHash (Charikar 2002) of the lowercase token multiset. */
+case class SimHash64Expr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    val offs = Hashing.tokenOffsets(s)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < offs.length) {
+      val h = Hashing.hashChars(s, offs(t), offs(t + 1))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 2
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

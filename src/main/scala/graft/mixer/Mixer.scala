@@ -34,10 +34,18 @@ object Mixer {
       minTextLength: Int = 0)
 
   /** Merge k attribute tables into the doc table: left joins on id, then
-    * map-concat of the attribute maps (shard.rs:288-365). */
+    * map-concat of the attribute maps (shard.rs:288-365).
+    *
+    * Attribute tables have exactly one (fat) row per document — the same
+    * cardinality as the doc table — so broadcasting one is always wrong;
+    * Catalyst's size estimate for a `mapPartitions` output is unreliable
+    * and it will happily broadcast 60k span maps (driver collect +
+    * per-task hash build). Pin sort-merge; genuinely small side tables
+    * (blocklists, dims) should be joined by the caller with an explicit
+    * `broadcast()`. */
   def mergeAttributes(docs: DataFrame, attrTables: Seq[DataFrame]): DataFrame = {
     attrTables.zipWithIndex.foldLeft(docs) { case (acc, (attrs, i)) =>
-      val renamed = attrs.withColumnRenamed("attributes", s"__attrs_$i")
+      val renamed = attrs.withColumnRenamed("attributes", s"__attrs_$i").hint("merge")
       acc.join(renamed, Seq("id"), "left")
     } match {
       case joined =>

@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video payloads ride as opaque `binary`
+  * columns with typed metadata; decode/feature-extraction runs as a
+  * per-partition batch map (`mapPartitions`) so a real decoder would be
+  * initialized once per task and fed batches — the Spark-side plumbing
+  * (schema, partitioning, batch shape) is real and tested, while the
+  * actual codec is STUBBED behind [[MediaDecoder]] (image/audio libraries
+  * are not available in this build environment).
+  */
+object Multimodal {
+
+  /** Typed metadata accompanying a binary payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("format", StringType), // png|jpg|wav|mp4...
+    StructField("payload", BinaryType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** The decode seam. A production build plugs a real codec here;
+    * this build ships a deterministic fake (dimensions and an embedding
+    * derived from the payload bytes) so every downstream operator — the
+    * partition-level batching, schema, ANN over the embedding — runs for
+    * real. */
+  trait MediaDecoder extends Serializable {
+    def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float])
+  }
+
+  /** Deterministic stand-in decoder: hashes bytes into shape + embedding. */
+  object FakeDecoder extends MediaDecoder {
+    def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      var h = 0xcbf29ce484222325L
+      payload.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      val w = 64 + (math.abs(h) % 512).toInt
+      val ht = 64 + (math.abs(h >> 16) % 512).toInt
+      val frames = if (mediaType == "video") 1 + (math.abs(h >> 24) % 64).toInt else 1
+      val emb = Array.tabulate(16) { i =>
+        val x = graft.functions.Hashing.mix64(h ^ i)
+        (x.toDouble / Long.MaxValue).toFloat
+      }
+      (w, ht, frames, emb)
+    }
+  }
+
+  /** Feature extraction over a media table: one decoder instance per
+    * partition, rows processed in order (a real decoder would batch). */
+  def extractFeatures(media: DataFrame, decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    media.select("id", "media_type", "format", "payload").mapPartitions { rows =>
+      val d = decoder // per-partition init seam
+      rows.map { r =>
+        val payload = if (r.isNullAt(3)) Array.emptyByteArray else r.getAs[Array[Byte]](3)
+        val (w, h, frames, emb) = d.decode(r.getString(1), r.getString(2), payload)
+        Row(r.getString(0), r.getString(1), w, h, frames, emb.toSeq)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic media table for tests/bench. */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val mediaType = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val fmt = mediaType match {
+        case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
+      }
+      val payload = Array.tabulate(128)(j =>
+        (graft.functions.Hashing.mix64(i * 131 + j) & 0xff).toByte)
+      (s"m$i", mediaType, fmt, payload)
+    }.toDF("id", "media_type", "format", "payload")
+  }
+}

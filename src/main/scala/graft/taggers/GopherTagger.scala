@@ -48,42 +48,72 @@ final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
 
     // n-gram fractions (gopher.py:147-176): n in 2..10; {2,3,4} = fraction
     // of chars in MOST COMMON n-gram, {5..10} = fraction in DUPLICATE
-    // n-grams (denominator = total n-gram chars).
+    // n-grams (denominator = total n-gram chars). N-grams are keyed by a
+    // 64-bit polynomial hash of per-word hashes (collision probability is
+    // negligible at document scale) with char sums from a prefix-sum array
+    // — the tuple-keyed Counter the reference uses allocates per position
+    // and stalls multi-core throughput on GC.
+    val wordHashes = new Array[Long](wordCount)
+    val lenPrefix = new Array[Int](wordCount + 1)
+    var wi = 0
+    while (wi < wordCount) {
+      var h = 0xcbf29ce484222325L
+      val w = words(wi)
+      var ci = 0
+      while (ci < w.length) { h ^= w.charAt(ci).toLong; h *= 0x100000001b3L; ci += 1 }
+      wordHashes(wi) = h
+      lenPrefix(wi + 1) = lenPrefix(wi) + wordLens(wi)
+      wi += 1
+    }
+
     var n = 2
     while (n <= 10) {
       if (wordCount >= n) {
-        val counts = mutable.HashMap.empty[Seq[String], Int]
+        val numGrams = wordCount - n + 1
+        val counts = mutable.LongMap.empty[Int]
+        val keys = new Array[Long](numGrams)
         var i = 0
-        while (i + n <= wordCount) {
-          val key: Seq[String] = words.view.slice(i, i + n).toIndexedSeq
-          counts.update(key, counts.getOrElse(key, 0) + 1)
+        while (i < numGrams) {
+          var h = 1125899906842597L
+          var j = i
+          while (j < i + n) { h = h * 0x100000001b3L + wordHashes(j); j += 1 }
+          keys(i) = h
+          counts.update(h, counts.getOrElse(h, 0) + 1)
           i += 1
         }
+        @inline def gramChars(pos: Int): Int = lenPrefix(pos + n) - lenPrefix(pos)
         if (n <= 4) {
           // most_common(1) breaks ties by insertion order (first seen wins)
-          var best: Seq[String] = null
+          val seen = mutable.LongMap.empty[Unit]
           var bestCount = -1
+          var bestChars = 0
           i = 0
-          val seen = mutable.HashSet.empty[Seq[String]]
-          while (i + n <= wordCount) {
-            val key: Seq[String] = words.view.slice(i, i + n).toIndexedSeq
+          while (i < numGrams) {
+            val key = keys(i)
             if (!seen.contains(key)) {
-              seen += key
+              seen.update(key, ())
               val c = counts(key)
-              if (c > bestCount) { bestCount = c; best = key }
+              if (c > bestCount) { bestCount = c; bestChars = gramChars(i) }
             }
             i += 1
           }
-          val value = bestCount.toDouble * best.map(CodePoints.length).sum /
-            math.max(characterCount, 1)
+          val value = bestCount.toDouble * bestChars / math.max(characterCount, 1)
           spans += Span(0, charCount, s"fraction_of_characters_in_most_common_${n}grams", value)
         } else {
           var totalChars = 0L
           var dupChars = 0L
-          counts.foreach { case (ng, c) =>
-            val chars = c.toLong * ng.map(CodePoints.length).sum
-            totalChars += chars
-            if (c > 1) dupChars += chars
+          val counted = mutable.LongMap.empty[Unit]
+          i = 0
+          while (i < numGrams) {
+            val key = keys(i)
+            if (!counted.contains(key)) {
+              counted.update(key, ())
+              val c = counts(key)
+              val chars = c.toLong * gramChars(i)
+              totalChars += chars
+              if (c > 1) dupChars += chars
+            }
+            i += 1
           }
           val value = dupChars.toDouble / math.max(totalChars, 1L)
           spans += Span(0, charCount, s"fraction_of_characters_in_duplicate_${n}grams", value)

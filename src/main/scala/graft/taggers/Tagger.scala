@@ -43,6 +43,7 @@ object TaggerRegistry {
       PiiTaggers.registerAll()
       RepetitionTaggers.registerAll()
       TextQualityTaggers.registerAll()
+      UrlBlocklistTagger.registerAll()
     }
     def ensure(): Unit = done
   }
