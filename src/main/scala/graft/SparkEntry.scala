@@ -75,10 +75,11 @@ object SparkEntry {
       .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
       .withColumn("ordinal", monotonically_increasing_id())
 
-    // tag: quality + PII + repetitions, fused in one mapPartitions pass
+    // tag: quality + PII + repetitions + toxicity, fused in one
+    // mapPartitions pass (model weights initialized once per partition)
     val attrs = TagRunner.tag(docsDs,
       Seq("gopher_v2", "code_redpajama_taggers_v1", "pii_regex_with_counts_fast_v2",
-        "repetitions_v1", "code_copyright_comments_v1"),
+        "repetitions_v1", "code_copyright_comments_v1", "jigsaw_toxicity_paragraph_v1"),
       "exp", idCol = "id", textCol = "content")
 
     // dedupe: exact content dedup, first occurrence wins
@@ -97,7 +98,10 @@ object SparkEntry {
       spanReplacements = Seq(
         Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__EMAIL_ADDRESS", template = " |||EMAIL||| "),
         Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__PHONE_NUMBER", template = " |||PHONE||| "),
-        Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__IP_ADDRESS", template = " |||IP||| ")),
+        Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__IP_ADDRESS", template = " |||IP||| "),
+        // toxicity scrub: delete paragraphs the classifier marks toxic
+        Mixer.SpanReplacementRule("exp__jigsaw_toxicity_paragraph_v1__toxic",
+          minScore = 0.8, template = "")),
       discardFields = Seq("is_duplicate"),
       minTextLength = 1)
     Mixer.mix(merged, cfg, lit("codedocs"), col("ordinal"))
@@ -158,7 +162,42 @@ object SparkEntry {
           sum(floor(col("value") * 100).cast("long")).as("value_cents"))
     }),
 
+    "q6_sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+        .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      ev.withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    "analyzer_quantiles" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("source"))
+        .agg(
+          expr("percentile(n_chars, array(0.25, 0.5, 0.75))").as("q"),
+          count(lit(1)).as("n"))
+        .select(col("source"),
+          col("q").getItem(0).as("q25"), col("q").getItem(1).as("q50"),
+          col("q").getItem(2).as("q75"), col("n"))),
+
     // -- tagger battery over documents (mapPartitions-fused) --
+    "tag_toxicity_ft" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+        .withColumn("text2",
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit("\nhate stupid idiot trash garbage awful hate stupid\n")))
+            .otherwise(col("text")))
+      val attrs = TagRunner.tag(d, Seq("jigsaw_toxicity_paragraph_v1"), "t",
+        idCol = "id", textCol = "text2", roundScores = false)
+      attrs.select(col("id").cast("long").as("doc_id"),
+        TagRunner.attrScore("t__jigsaw_toxicity_paragraph_v1__doc_toxic").as("doc_toxic"))
+        .withColumn("is_toxic", (col("doc_toxic") > 0.3).cast("long"))
+        .select(col("doc_id"), col("is_toxic"))
+    }),
+
     "tag_lengths" -> ((s, dir) =>
       tagged(s, dir,
         Seq("char_length_v1", "char_length_strip_ws_v1", "bytes_length_v1",
@@ -450,6 +489,24 @@ object SparkEntry {
           |    ('the','be','to','of','and','that','have','with'))) AS req
           | FROM documents)
           |WHERE wc > 30 AND NOT (req >= 5)""".stripMargin,
+
+      "q6_sessionize" ->
+        """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+          | SELECT user_id,
+          |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+          |   THEN 1 ELSE 0 END AS new_session
+          | FROM events
+          | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+          |GROUP BY 1""".stripMargin,
+
+      "analyzer_quantiles" ->
+        """SELECT source,
+          | quantile_cont(n_chars, 0.25) AS q25,
+          | quantile_cont(n_chars, 0.5) AS q50,
+          | quantile_cont(n_chars, 0.75) AS q75,
+          | count(*) AS n
+          |FROM documents GROUP BY 1""".stripMargin,
 
       "tag_lengths" ->
         s"""SELECT doc_id,

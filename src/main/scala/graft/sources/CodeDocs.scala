@@ -80,6 +80,14 @@ object CodeDocs {
       sb.append(s"$lineComment office: (${200 + rng.nextInt(700)}) ${200 + rng.nextInt(700)}-${1000 + rng.nextInt(9000)} \n")
       sb.append(s"$lineComment host: 10.${rng.nextInt(255)}.${rng.nextInt(255)}.${rng.nextInt(255)} \n")
     }
+    if (kind == 6) {
+      // toxic-comment paragraph (exercises the toxicity scrub path)
+      val toxic = Vector("hate", "stupid", "idiot", "trash", "garbage", "awful")
+      sb.append(lineComment).append(' ')
+      var k = 0
+      while (k < 8) { sb.append(toxic(rng.nextInt(toxic.length))).append(' '); k += 1 }
+      sb.append('\n')
+    }
     val lines = 5 + rng.nextInt(40)
     var l = 0
     while (l < lines) {

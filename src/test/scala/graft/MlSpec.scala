@@ -27,6 +27,18 @@ class MlSpec extends AnyFunSuite {
     assert(model.scoreLabel("the and with", "en") == full("en"))
   }
 
+  test("fastText taggers: toxicity paragraph spans + doc rollup") {
+    val t = graft.taggers.TaggerRegistry.resolve("jigsaw_toxicity_paragraph_v1")
+    val text = "data value stream merge kind helpful\nhate stupid idiot trash garbage awful\n"
+    val spans = t.predict(text)
+    val paras = spans.filter(_.typ == "toxic")
+    assert(paras.length == 2)
+    assert(paras(1).score > 0.9) // toxic paragraph
+    assert(paras(0).score < 0.5) // clean paragraph
+    val doc = spans.find(_.typ == "doc_toxic").get
+    assert(doc.score > 0.0 && doc.score < 1.0)
+  }
+
   test("KenLM: in-distribution code scores lower perplexity than shuffled") {
     val lm = Models.codeLm
     val clean = graft.sources.CodeDocs.makeDoc(300L, 1234L, 400L).content

@@ -46,7 +46,8 @@ class PipelineSpec extends AnyFunSuite {
       .join(output.select(col("id"), col("content")), "id")
     val unscrubbed = joined.filter(!col("original").contains("@") &&
       !col("original").rlike("\\d{3}\\) \\d{3}-\\d{4}") &&
-      !col("original").rlike("\\d+\\.\\d+\\.\\d+\\.\\d+"))
+      !col("original").rlike("\\d+\\.\\d+\\.\\d+\\.\\d+") &&
+      !col("original").rlike("hate|stupid|idiot|trash|garbage|awful"))
     val mismatches = unscrubbed
       .filter(sha2(col("original"), 256) =!= sha2(col("content"), 256)).count()
     assert(unscrubbed.count() > 0)
@@ -57,6 +58,16 @@ class PipelineSpec extends AnyFunSuite {
     val leaked = output.filter(col("content").rlike(
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count()
     assert(leaked == 0)
+  }
+
+  test("toxicity scrub: toxic comment paragraphs removed from survivors") {
+    val toxicSurvivors = output.filter(
+      col("content").rlike("(hate|stupid|idiot|trash|garbage|awful) (hate|stupid|idiot|trash|garbage|awful)")).count()
+    assert(toxicSurvivors == 0)
+    // ...and the input did contain such paragraphs
+    val toxicInputs = input.filter(
+      col("content").rlike("(hate|stupid|idiot|trash|garbage|awful) (hate|stupid|idiot|trash|garbage|awful)")).count()
+    assert(toxicInputs > 0)
   }
 
   test("pipeline is deterministic across runs") {
