@@ -162,6 +162,13 @@ object SparkEntry {
           sum(floor(col("value") * 100).cast("long")).as("value_cents"))
     }),
 
+    // salted two-stage aggregation (skew path) must equal a plain groupBy
+    "q7_salted_agg" -> ((s, dir) =>
+      graft.operators.Salted.groupByWithSalt(
+        docs(s, dir), col("source"),
+        Seq((col("n_chars"), "total_chars")), saltBuckets = 8)
+        .select(col("key").as("source"), col("n"), col("total_chars"))),
+
     "q6_sessionize" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
         .withColumn("us", expr("unix_micros(cast(ts as timestamp))"))
@@ -489,6 +496,10 @@ object SparkEntry {
           |    ('the','be','to','of','and','that','have','with'))) AS req
           | FROM documents)
           |WHERE wc > 30 AND NOT (req >= 5)""".stripMargin,
+
+      "q7_salted_agg" ->
+        """SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+          |FROM documents GROUP BY 1""".stripMargin,
 
       "q6_sessionize" ->
         """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (

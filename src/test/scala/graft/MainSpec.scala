@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end config-driven pipeline (the spark-submit surface). */
+class MainSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("config-driven pipeline: tag, dedupe, filter, scrub, metrics, resume") {
+    val dir = Files.createTempDirectory("graft-main").toString
+    graft.sources.CodeDocs.generate(spark, 200L).toDF()
+      .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
+      .write.parquet(s"$dir/input")
+
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input",
+         |            "id": "id", "text": "content"},
+         |  "taggers": ["gopher_v2", "pii_regex_with_counts_fast_v2"],
+         |  "experiment": "e",
+         |  "dedupe": {"enabled": true},
+         |  "filter": {"exclude": [
+         |    "$$.attributes.e__pii_regex_with_counts_fast_v2__doc_count[0][2] > 5"]},
+         |  "span_replacement": [
+         |    {"span": "e__pii_regex_with_counts_fast_v2__EMAIL_ADDRESS",
+         |     "min_score": 0.5, "replacement": "[EMAIL]"}],
+         |  "min_text_length": 1,
+         |  "output": {"path": "$dir/out", "format": "parquet"},
+         |  "attributes_output": "$dir/attrs",
+         |  "metrics_output": "$dir/metrics",
+         |  "ledger": "$dir/ledger"
+         |}""".stripMargin
+    val cfg = new com.fasterxml.jackson.databind.ObjectMapper().readTree(config)
+
+    Main.run(spark, cfg)
+
+    val out = spark.read.parquet(s"$dir/out")
+    val n1 = out.count()
+    assert(n1 > 0)
+    assert(out.columns.contains("provenance"))
+    assert(out.filter(col("content").rlike("dev\\d+@example\\.com")).count() == 0)
+
+    val attrs = spark.read.parquet(s"$dir/attrs")
+    assert(attrs.count() == 200)
+
+    val lineage = spark.read.parquet(s"$dir/metrics/lineage")
+    assert(lineage.agg(sum("rows")).as[Long].head() == n1)
+
+    // resume: second run sees everything completed → writes 0 rows
+    Main.run(spark, cfg)
+    assert(spark.read.parquet(s"$dir/out").count() == 0)
+  }
+}
