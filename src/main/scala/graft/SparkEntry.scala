@@ -241,6 +241,20 @@ object SparkEntry {
         size(TagRunner.attrSpans("t__c4_v2__lines_with_no_ending_punctuation")).cast("long").as("unpunct_lines"))
     }),
 
+    // exploded c4_v1 line spans with exact code-point offsets: documents
+    // are single-line, so synthesize newlines deterministically in both
+    // engines and compare every span boundary
+    "tag_c4_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("id", col("doc_id").cast("string"))
+        .withColumn("text2", regexp_replace(col("text"), " dup ", "\ndup\n"))
+      val attrs = TagRunner.tag(d, Seq("c4_v1"), "t", idCol = "id", textCol = "text2",
+        roundScores = false)
+      attrs.select(col("id").cast("long").as("doc_id"),
+          explode(TagRunner.attrSpans("t__c4_v1__lines_with_too_few_words")).as("s"))
+        .select(col("doc_id"), col("s.start").as("span_start"), col("s.end").as("span_end"))
+    }),
+
     "tag_redpajama" -> ((s, dir) =>
       tagged(s, dir, Seq("code_redpajama_taggers_v1"),
         Seq(
@@ -559,6 +573,25 @@ object SparkEntry {
           | len(list_filter(lines, x -> NOT (
           |   trim(x) LIKE '%.' OR trim(x) LIKE '%?' OR trim(x) LIKE '%!' OR trim(x) LIKE '%"'))) AS unpunct_lines
           |FROM l""".stripMargin,
+
+      "tag_c4_spans" ->
+        """WITH t AS (SELECT doc_id, replace(text, ' dup ', chr(10) || 'dup' || chr(10)) AS text2
+          |           FROM documents),
+          |l AS (SELECT doc_id, text2,
+          |        unnest(string_split(lower(text2), chr(10))) AS line,
+          |        unnest(range(1, len(string_split(text2, chr(10))) + 1)) AS idx,
+          |        len(string_split(text2, chr(10))) AS n_lines
+          |      FROM t),
+          |o AS (SELECT doc_id, line, idx, n_lines,
+          |        sum(length(line) + 1) OVER (PARTITION BY doc_id ORDER BY idx
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
+          |        length(line) AS ll
+          |      FROM l)
+          |SELECT doc_id,
+          |  coalesce(prev_end, 0) AS span_start,
+          |  coalesce(prev_end, 0) + ll + (CASE WHEN idx < n_lines THEN 1 ELSE 0 END) AS span_end
+          |FROM o
+          |WHERE len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) < 3""".stripMargin,
 
       "tag_redpajama" ->
         s"""WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents)

@@ -20,14 +20,17 @@ final class FastTextTagger(
     val name: String,
     model: => FastTextClassifier,
     positiveLabel: String,
-    paragraphLevel: Boolean) extends Tagger {
+    paragraphLevel: Boolean,
+    sentenceLevel: Boolean = false) extends Tagger {
 
   private lazy val m = model
 
   def predict(text: String, meta: Map[String, String]): Vector[Span] = {
     val docLen = CodePoints.length(text)
-    if (paragraphLevel) {
-      val paras = TextSplit.splitParagraphs(text)
+    if (paragraphLevel || sentenceLevel) {
+      val paras =
+        if (sentenceLevel) graft.core.Sentences.split(text)
+        else TextSplit.splitParagraphs(text)
       val spans = Vector.newBuilder[Span]
       var weighted = 0.0
       paras.foreach { p =>
@@ -96,6 +99,9 @@ object FastTextTaggers {
     TaggerRegistry.register("jigsaw_toxicity_paragraph_v1")(
       new FastTextTagger("jigsaw_toxicity_paragraph_v1", toxicity, "toxic",
         paragraphLevel = true))
+    TaggerRegistry.register("jigsaw_toxicity_sentence_v1")(
+      new FastTextTagger("jigsaw_toxicity_sentence_v1", toxicity, "toxic",
+        paragraphLevel = false, sentenceLevel = true))
     TaggerRegistry.register("ft_quality_document_v1")(
       new FastTextTagger("ft_quality_document_v1", quality, "hq",
         paragraphLevel = false))

@@ -50,6 +50,25 @@ object LengthTaggers {
         TextSplit.regexSplitCount(text).toDouble))
   }
 
+  /** Unicode-segmentation segment count over the stripped doc
+    * (length.py:78-82 `uniseg_length_v1`; Python uniseg.wordbreak.words
+    * yields EVERY UAX-29 segment including whitespace runs). */
+  final class UnisegLengthV1 extends Tagger {
+    val name = "uniseg_length_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val stripped = text.trim
+      val score = if (stripped.isEmpty) 0 else {
+        val bi = com.ibm.icu.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
+        bi.setText(stripped)
+        var count = 0
+        bi.first()
+        while (bi.next() != com.ibm.icu.text.BreakIterator.DONE) count += 1
+        count
+      }
+      Vector(Span(0, CodePoints.length(text), "length", score.toDouble))
+    }
+  }
+
   /** Per-paragraph char lengths + doc length (length.py:48-55). */
   final class CharLengthWithParagraphsV1 extends Tagger {
     val name = "char_length_with_paragraphs_v1"
@@ -93,6 +112,7 @@ object LengthTaggers {
     TaggerRegistry.register("doc_count_v1")(new DocCountV1)
     TaggerRegistry.register("whitespace_tokenizer_v1")(new WhitespaceTokenizerV1)
     TaggerRegistry.register("char_length_with_paragraphs_v1")(new CharLengthWithParagraphsV1)
+    TaggerRegistry.register("uniseg_length_v1")(new UnisegLengthV1)
     TaggerRegistry.register("uniseg_length_paragraphs_v1")(new UnisegLengthParagraphsV1())
     TaggerRegistry.register("uniseg_length_paragraphs_with_empty_v1")(
       new UnisegLengthParagraphsV1(withEmpty = true))
