@@ -69,7 +69,9 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = codePipeline(spark, 2000L)
 
   /** tag → dedupe → mix over `n` synthetic code docs: the SURVEY §7.2
-    * minimum end-to-end slice. */
+    * minimum end-to-end slice. Attributes are computed INLINE in the same
+    * narrow pass as the scan (TagRunner.withAttributes) — no attribute
+    * join; the dedup window is the pipeline's only shuffle. */
   def codePipeline(spark: SparkSession, n: Long): DataFrame = {
     val docsDs = CodeDocs.generate(spark, n).toDF()
       .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
@@ -77,18 +79,14 @@ object SparkEntry {
 
     // tag: quality + PII + repetitions + toxicity, fused in one
     // mapPartitions pass (model weights initialized once per partition)
-    val attrs = TagRunner.tag(docsDs,
+    val tagged = TagRunner.withAttributes(docsDs,
       Seq("gopher_v2", "code_redpajama_taggers_v1", "pii_regex_with_counts_fast_v2",
         "repetitions_v1", "code_copyright_comments_v1", "jigsaw_toxicity_paragraph_v1"),
-      "exp", idCol = "id", textCol = "content")
+      "exp", textCol = "content")
 
-    // dedupe: exact content dedup, first occurrence wins
-    val withDup = Dedup.markDuplicates(
-      docsDs, sha2(col("content"), 256), col("ordinal"))
-
-    // mix: join attributes (broadcast-eligible), exclude rules, scrub PII
-    val merged = Mixer.mergeAttributes(
-      withDup, Seq(attrs)) // one attribute experiment table
+    // dedupe: exact content dedup, first occurrence wins (only shuffle)
+    val merged = Dedup.markDuplicates(
+      tagged, sha2(col("content"), 256), col("ordinal"))
     val cfg = Mixer.MixerConfig(
       exclude = Seq(
         col("is_duplicate"),

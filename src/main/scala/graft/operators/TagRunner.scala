@@ -5,7 +5,7 @@ import graft.taggers.TaggerRegistry
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, MapType, StringType, StructField, StructType}
 import org.apache.spark.sql.Row
 
 /** The tagging stage: runs a configured battery of taggers fused inside a
@@ -78,6 +78,53 @@ object TagRunner {
           }
         }
         Row(id, attrs.map { case (k, v) =>
+          k -> v.map(t => Row(t.start, t.end, t.score))
+        }.toMap)
+      }
+    }(outEnc)
+  }
+
+  /** Append the attribute map as a column IN PLACE (no separate attribute
+    * table, no join): the fused form for pipelines that tag and mix in one
+    * run. Attributes are per-row, so computing them inline turns
+    * tag→join→mix (two sort shuffles of fat rows) into a single narrow
+    * pass — the dedup window stays the pipeline's only shuffle. */
+  def withAttributes(
+      df: DataFrame,
+      taggerNames: Seq[String],
+      experiment: String,
+      textCol: String = "content",
+      metaCols: Seq[String] = Nil,
+      roundScores: Boolean = true,
+      outputCol: String = "attributes"): DataFrame = {
+    val names = taggerNames
+    val metaNames = metaCols
+    val round = roundScores
+    val exp = experiment
+    val inputSchema = df.schema
+    val textIdx = inputSchema.fieldIndex(textCol)
+    val metaIdx = metaNames.map(inputSchema.fieldIndex)
+    val outSchema = inputSchema.add(StructField(outputCol,
+      MapType(StringType, spanTripleType), nullable = false))
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+
+    df.mapPartitions { rows =>
+      val taggers = names.map(TaggerRegistry.resolve)
+      rows.map { row =>
+        val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
+        val meta = metaNames.zip(metaIdx).map { case (m, i) =>
+          m -> (if (row.isNullAt(i)) "" else row.get(i).toString)
+        }.toMap
+        val attrs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[SpanTriple]]
+        taggers.foreach { t =>
+          t.predict(text, meta).groupBy(_.typ).foreach { case (typ, ss) =>
+            val key = Attributes.mangle(exp, t.name, typ)
+            val triples = ss.map(s => SpanTriple(s.start, s.end,
+              if (round) Attributes.roundScore(s.score) else s.score))
+            attrs.update(key, attrs.getOrElse(key, Seq.empty) ++ triples)
+          }
+        }
+        Row.fromSeq(row.toSeq :+ attrs.map { case (k, v) =>
           k -> v.map(t => Row(t.start, t.end, t.score))
         }.toMap)
       }
