@@ -323,6 +323,14 @@ object SparkEntry {
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"), col("distance"))),
 
+    "dedup_paragraph" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("text2", regexp_replace(col("text"), " dup ", "\ndup\n"))
+      Dedup.paragraphDuplicates(d, col("doc_id"), col("text2"), col("doc_id"))
+        .select(col("id").as("doc_id"), col("para_index"),
+          col("is_duplicate").cast("long").as("is_dup"))
+    }),
+
     "dedup_ngram_overlap" -> ((s, dir) =>
       Dedup.ngramOverlapDuplicates(docs(s, dir), col("doc_id"), col("text"),
         col("doc_id"), n = 8, stride = 0, threshold = 0.7)
@@ -654,6 +662,19 @@ object SparkEntry {
       "doc_fingerprint" ->
         s"""SELECT doc_id, md5(array_to_string($wordsLowerSql, ' ')) AS fingerprint
            |FROM documents""".stripMargin,
+
+      "dedup_paragraph" ->
+        """WITH t AS (SELECT doc_id, replace(text, ' dup ', chr(10) || 'dup' || chr(10)) AS text2
+          |           FROM documents),
+          |p AS (SELECT doc_id,
+          |        unnest(string_split(text2, chr(10))) AS para,
+          |        unnest(range(0, len(string_split(text2, chr(10))))) AS para_index
+          |      FROM t)
+          |SELECT doc_id, para_index,
+          | CASE WHEN trim(para) <> '' AND
+          |   row_number() OVER (PARTITION BY para ORDER BY doc_id, para_index) > 1
+          |  THEN 1 ELSE 0 END AS is_dup
+          |FROM p""".stripMargin,
 
       "dedup_exact" ->
         """SELECT doc_id,

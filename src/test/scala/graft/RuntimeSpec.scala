@@ -81,6 +81,26 @@ class RuntimeSpec extends AnyFunSuite {
     assert(feats.exceptAll(again).count() == 0)
   }
 
+  test("streaming: stateful sessionization with flatMapGroupsWithState") {
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val gap = 1800000000L
+    // user 1: two sessions (gap between event 2 and 3); user 2: one open
+    Seq((1L, 0L), (1L, 1000L), (1L, gap * 2), (2L, 5L))
+      .toDF("user_id", "us").write.parquet(dir + "/in")
+    val schema = spark.read.parquet(dir + "/in").schema
+    val stream = spark.readStream.schema(schema).parquet(dir + "/in")
+      .as[(Long, Long)]
+    val sessions = graft.streaming.StreamingTagger.sessionize(stream)
+      .toDF("user_id", "session_start", "n_events")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // only user 1's FIRST session is closed (emitted); the rest stay open
+    val out = spark.table("sessions").as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L, 2L)))
+  }
+
   test("streaming: fused tagger battery over a stream (AvailableNow)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     Seq(("s1", "hello streaming world"), ("s2", "more text arrives"))
