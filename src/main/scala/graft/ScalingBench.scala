@@ -147,7 +147,8 @@ object ScalingBench {
           graft.sources.CodeDocs.generate(spark, nDocs).toDF()
             .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit"))),
           Seq("gopher_v2", "code_redpajama_taggers_v1", "pii_regex_with_counts_fast_v2",
-            "repetitions_v1", "code_copyright_comments_v1"),
+            "tokenizer_repetitions_v2r2", "code_copyright_comments_v1",
+            "jigsaw_toxicity_paragraph_v1"),
           "exp", idCol = "id", textCol = "content").count()
         (System.nanoTime() - t1) / 1e9
       }

@@ -79,9 +79,13 @@ object SparkEntry {
 
     // tag: quality + PII + repetitions + toxicity, fused in one
     // mapPartitions pass (model weights initialized once per partition)
+    // tokenizer_repetitions_v2r2 is the reference's production choice
+    // (configs/dolma-v1_6/mixing/stack.yaml:363-375) and ~10x faster than
+    // the backtracking char-regex variant
     val tagged = TagRunner.withAttributes(docsDs,
       Seq("gopher_v2", "code_redpajama_taggers_v1", "pii_regex_with_counts_fast_v2",
-        "repetitions_v1", "code_copyright_comments_v1", "jigsaw_toxicity_paragraph_v1"),
+        "tokenizer_repetitions_v2r2", "code_copyright_comments_v1",
+        "jigsaw_toxicity_paragraph_v1"),
       "exp", textCol = "content")
 
     // dedupe: exact content dedup, first occurrence wins (only shuffle)
@@ -92,6 +96,7 @@ object SparkEntry {
         col("is_duplicate"),
         TagRunner.attrScore("exp__code_redpajama_taggers_v1__max_line_length_doc") > 1000,
         TagRunner.attrScore("exp__pii_regex_with_counts_fast_v2__doc_count") > 5,
+        TagRunner.attrScore("exp__tokenizer_repetitions_v2r2__doc_max_score_repetition") >= 100,
         TagRunner.attrScore("exp__gopher_v2__fraction_of_duplicate_lines") > 0.5),
       spanReplacements = Seq(
         Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__EMAIL_ADDRESS", template = " |||EMAIL||| "),

@@ -70,50 +70,40 @@ final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
     while (n <= 10) {
       if (wordCount >= n) {
         val numGrams = wordCount - n + 1
-        val counts = mutable.LongMap.empty[Int]
-        val keys = new Array[Long](numGrams)
+        // one map pass: value packs (firstPos << 32 | count); firstPos
+        // gives both the first-seen tie-break and the char sum
+        val packed = mutable.LongMap.empty[Long]
         var i = 0
         while (i < numGrams) {
           var h = 1125899906842597L
           var j = i
           while (j < i + n) { h = h * 0x100000001b3L + wordHashes(j); j += 1 }
-          keys(i) = h
-          counts.update(h, counts.getOrElse(h, 0) + 1)
+          val prev = packed.getOrElse(h, 0L)
+          packed.update(h, if (prev == 0L) (i.toLong << 32) | 1L else prev + 1L)
           i += 1
         }
         @inline def gramChars(pos: Int): Int = lenPrefix(pos + n) - lenPrefix(pos)
         if (n <= 4) {
           // most_common(1) breaks ties by insertion order (first seen wins)
-          val seen = mutable.LongMap.empty[Unit]
-          var bestCount = -1
-          var bestChars = 0
-          i = 0
-          while (i < numGrams) {
-            val key = keys(i)
-            if (!seen.contains(key)) {
-              seen.update(key, ())
-              val c = counts(key)
-              if (c > bestCount) { bestCount = c; bestChars = gramChars(i) }
+          var bestCount = -1L
+          var bestPos = Int.MaxValue
+          packed.foreachValue { v =>
+            val c = v & 0xffffffffL
+            val pos = (v >>> 32).toInt
+            if (c > bestCount || (c == bestCount && pos < bestPos)) {
+              bestCount = c; bestPos = pos
             }
-            i += 1
           }
-          val value = bestCount.toDouble * bestChars / math.max(characterCount, 1)
+          val value = bestCount.toDouble * gramChars(bestPos) / math.max(characterCount, 1)
           spans += Span(0, charCount, s"fraction_of_characters_in_most_common_${n}grams", value)
         } else {
           var totalChars = 0L
           var dupChars = 0L
-          val counted = mutable.LongMap.empty[Unit]
-          i = 0
-          while (i < numGrams) {
-            val key = keys(i)
-            if (!counted.contains(key)) {
-              counted.update(key, ())
-              val c = counts(key)
-              val chars = c.toLong * gramChars(i)
-              totalChars += chars
-              if (c > 1) dupChars += chars
-            }
-            i += 1
+          packed.foreachValue { v =>
+            val c = v & 0xffffffffL
+            val chars = c * gramChars((v >>> 32).toInt)
+            totalChars += chars
+            if (c > 1) dupChars += chars
           }
           val value = dupChars.toDouble / math.max(totalChars, 1L)
           spans += Span(0, charCount, s"fraction_of_characters_in_duplicate_${n}grams", value)
