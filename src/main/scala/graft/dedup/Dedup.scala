@@ -96,9 +96,12 @@ object Dedup {
       .filter(trim($"para") =!= "")
 
     val step = math.max(1, stride)
-    // words → n-gram hashes; short paragraphs hash whole text (fallback)
-    val grams = paras.select($"id", $"__ord", $"para_index",
-      explode(ngramHashes($"para", n, step)).as("gram"))
+    // materialize tokens before the per-gram lambda (avoids re-splitting
+    // the paragraph once per gram), then explode the gram hashes
+    val grams = paras
+      .withColumn("__toks", filter(split($"para", "\\s+"), t => t =!= ""))
+      .select($"id", $"__ord", $"para_index",
+        explode(ngramHashesFromTokens($"__toks", n, step)).as("gram"))
 
     val w = Window.partitionBy($"gram").orderBy($"__ord", $"para_index")
     val marked = grams.withColumn("dup", row_number().over(w) > 1)
@@ -112,8 +115,7 @@ object Dedup {
   /** Expression building the n-gram hash array of a paragraph: tokenize on
     * whitespace, xxhash64 each n-token window at the given stride; a
     * paragraph with < n tokens yields one hash of the whole token list. */
-  def ngramHashes(para: Column, n: Int, stride: Int): Column = {
-    val toks = filter(split(para, "\\s+"), t => t =!= "")
+  def ngramHashesFromTokens(toks: Column, n: Int, stride: Int): Column = {
     val numToks = size(toks)
     val starts = sequence(lit(0), greatest(numToks - n, lit(0)), lit(stride))
     when(numToks < n, array(xxhash64(concat_ws(" ", toks))))

@@ -65,11 +65,16 @@ object Analyzer {
     * to TakeOrderedAndProject (per-partition heaps + driver merge), which
     * is the distributed form of wimbd's fixed-size topk heap. */
   def topKNgrams(df: DataFrame, textCol: Column, n: Int, k: Int): DataFrame = {
-    val toks = filter(split(lower(textCol), "\\s+"), t => t =!= "")
+    // materialize the token array BEFORE the per-gram lambda: a lambda body
+    // referencing an unbound tokenization would re-split the text once per
+    // gram (O(words^2) per row)
+    val withToks = df.select(
+      filter(split(lower(textCol), "\\s+"), t => t =!= "").as("__toks"))
+    val toks = col("__toks")
     val starts = sequence(lit(0), greatest(size(toks) - n, lit(0)), lit(1))
     val ngrams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(n)))))
-    df.select(explode(ngrams).as("ngram"))
+    withToks.select(explode(ngrams).as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
