@@ -346,6 +346,18 @@ object SparkEntry {
     "topk_bigrams" -> ((s, dir) =>
       Analyzer.topKNgrams(docs(s, dir), col("text"), n = 2, k = 20)),
 
+    // end-to-end analyzer: tag -> explode attribute spans -> bucket counts
+    "analyzer_attr_histogram" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+      val attrs = TagRunner.tag(d, Seq("code_redpajama_taggers_v1"), "t",
+        idCol = "id", textCol = "text", roundScores = false)
+      val exploded = TagRunner.explodeAttributes(attrs)
+      exploded
+        .filter(col("attr") === "t__code_redpajama_taggers_v1__max_line_length_doc")
+        .groupBy(length(col("score").cast("long").cast("string")).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"), sum(col("score").cast("long")).as("total"))
+    }),
+
     "analyzer_histogram" -> ((s, dir) =>
       docs(s, dir)
         .groupBy(length(col("n_chars").cast("string")).cast("long").as("bucket"))
@@ -693,6 +705,14 @@ object SparkEntry {
            |      FROM toks)
            |SELECT ngram, count(*) AS cnt FROM g GROUP BY 1
            |ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+      "analyzer_attr_histogram" ->
+        """WITH m AS (SELECT cast(list_max(list_transform(string_split(text, chr(10)),
+          |                    x -> length(x))) AS BIGINT) AS mll
+          |           FROM documents)
+          |SELECT length(cast(mll AS VARCHAR)) AS bucket,
+          | count(*) AS cnt, sum(mll) AS total
+          |FROM m GROUP BY 1""".stripMargin,
 
       "analyzer_histogram" ->
         """SELECT length(cast(n_chars AS VARCHAR)) AS bucket,
