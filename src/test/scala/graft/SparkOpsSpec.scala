@@ -127,6 +127,17 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(top == Seq(("a b", 3L), ("b a", 1L)))
   }
 
+  test("ANN: IVF coarse assignment routes vectors to the nearest centroid") {
+    val c0 = Seq(10.0, 0.0); val c1 = Seq(0.0, 10.0)
+    val df = Seq(
+      (1L, Array(9.0f, 1.0f)), (2L, Array(1.0f, 9.0f)), (3L, Array(11.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val assigned = df.select(col("vec_id"),
+      graft.similarity.Ann.ivfAssign(col("embedding"), Seq(c0, c1)).as("list"))
+      .as[(Long, Int)].collect().toMap
+    assert(assigned == Map(1L -> 0, 2L -> 1, 3L -> 0))
+  }
+
   test("ANN: brute force and LSH agree on the top hit for a planted vector") {
     val target = Seq.fill(8)(1.0)
     val rows = (1 to 40).map { i =>
