@@ -22,7 +22,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt wraps stdout in [info] noise, so also persist the result line where
+    // the driver (and BENCH/BASELINE.md tooling) can read it unmangled.
+    val out = java.nio.file.Paths.get("BENCH/last_run.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     spark.stop()
   }
 }

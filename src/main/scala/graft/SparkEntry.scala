@@ -487,14 +487,14 @@ object SparkEntry {
     Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
-          | sum(cast(l_quantity AS BIGINT)) AS sum_qty,
+          | cast(sum(l_quantity) AS BIGINT) AS sum_qty,
           | count(*) AS n,
-          | sum(cast(floor(l_extendedprice*100) AS BIGINT)) AS price_cents
+          | cast(sum(floor(l_extendedprice*100)) AS BIGINT) AS price_cents
           |FROM lineitem GROUP BY 1, 2""".stripMargin,
 
       "q2_join_agg" ->
         """SELECT c_mktsegment, count(*) AS n,
-          | sum(cast(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+          | cast(sum(floor(l_extendedprice*(1-l_discount)*100)) AS BIGINT) AS revenue_cents
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
@@ -509,7 +509,7 @@ object SparkEntry {
 
       "q4_broadcast_star" ->
         """SELECT r_name, count(*) AS n_suppliers,
-          | sum(cast(floor(s_acctbal*100) AS BIGINT)) AS acctbal_cents
+          | cast(sum(floor(s_acctbal*100)) AS BIGINT) AS acctbal_cents
           |FROM supplier
           |JOIN nation ON s_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
@@ -517,12 +517,12 @@ object SparkEntry {
 
       "q5_events_window" ->
         """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
-          | count(*) AS n, sum(cast(floor(value*100) AS BIGINT)) AS value_cents
+          | count(*) AS n, cast(sum(floor(value*100)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1, 2""".stripMargin,
 
       "streaming_events_window" ->
         """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
-          | count(*) AS n, sum(cast(floor(value*100) AS BIGINT)) AS value_cents
+          | count(*) AS n, cast(sum(floor(value*100)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1, 2""".stripMargin,
 
       "mixer_predicate_compiler" ->
@@ -535,11 +535,11 @@ object SparkEntry {
           |WHERE wc > 30 AND NOT (req >= 5)""".stripMargin,
 
       "q7_salted_agg" ->
-        """SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+        """SELECT source, count(*) AS n, cast(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY 1""".stripMargin,
 
       "q6_sessionize" ->
-        """SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events FROM (
+        """SELECT user_id, cast(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
           | SELECT user_id,
           |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
           |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
@@ -611,8 +611,8 @@ object SparkEntry {
           |        length(line) AS ll
           |      FROM l)
           |SELECT doc_id,
-          |  coalesce(prev_end, 0) AS span_start,
-          |  coalesce(prev_end, 0) + ll + (CASE WHEN idx < n_lines THEN 1 ELSE 0 END) AS span_end
+          |  cast(coalesce(prev_end, 0) AS BIGINT) AS span_start,
+          |  cast(coalesce(prev_end, 0) + ll + (CASE WHEN idx < n_lines THEN 1 ELSE 0 END) AS BIGINT) AS span_end
           |FROM o
           |WHERE len(list_filter(string_split_regex(trim(line), '\s+'), x -> x <> '')) < 3""".stripMargin,
 
@@ -657,8 +657,8 @@ object SparkEntry {
       "tag_token_count" ->
         s"""SELECT doc_id,
            | len($wordsSql) AS ws_tokens,
-           | coalesce(list_sum(list_transform(regexp_extract_all(text, '$tokenRe'),
-           |   x -> (length(x)+3)//4)), 0) AS bpe_est
+           | cast(coalesce(list_sum(list_transform(regexp_extract_all(text, '$tokenRe'),
+           |   x -> (length(x)+3)//4)), 0) AS BIGINT) AS bpe_est
            |FROM documents""".stripMargin,
 
       "tag_langid_hits" -> {
@@ -711,12 +711,12 @@ object SparkEntry {
           |                    x -> length(x))) AS BIGINT) AS mll
           |           FROM documents)
           |SELECT length(cast(mll AS VARCHAR)) AS bucket,
-          | count(*) AS cnt, sum(mll) AS total
+          | count(*) AS cnt, cast(sum(mll) AS BIGINT) AS total
           |FROM m GROUP BY 1""".stripMargin,
 
       "analyzer_histogram" ->
         """SELECT length(cast(n_chars AS VARCHAR)) AS bucket,
-          | count(*) AS cnt, sum(n_chars) AS total_chars
+          | count(*) AS cnt, cast(sum(n_chars) AS BIGINT) AS total_chars
           |FROM documents GROUP BY 1""".stripMargin,
 
       "ann_cosine_topk" ->
