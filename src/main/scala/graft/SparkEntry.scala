@@ -315,12 +315,14 @@ object SparkEntry {
       Dedup.markDuplicates(docs(s, dir), md5(col("text")), col("doc_id"))
         .select(col("doc_id"), col("is_duplicate").cast("long").as("is_dup"))),
 
+    // LSH proposes candidates, an exact shingle-set Jaccard join verifies:
+    // output depends only on shingle sets, so DuckDB can recompute it
     "dedup_minhash_pairs" -> ((s, dir) =>
-      MinHashLSH.nearDuplicatePairs(docs(s, dir),
+      MinHashLSH.verifiedNearDuplicatePairs(docs(s, dir),
         col("doc_id").cast("string"), col("text"), k = 5, numPerms = 32,
-        bands = 8, minJaccard = 0.5)
+        bands = 16, minJaccard = 0.5)
         .select(col("id_a").cast("long").as("id_a"),
-          col("id_b").cast("long").as("id_b"), col("est_jaccard"))),
+          col("id_b").cast("long").as("id_b"), col("jaccard"))),
 
     "dedup_simhash_pairs" -> ((s, dir) =>
       SimHash.nearDuplicatePairs(docs(s, dir),
@@ -402,9 +404,34 @@ object SparkEntry {
           octet_length(col("content")).cast("long").as("content_bytes"))
     }),
 
-    // -- engine-native ops (no SQL equivalent; rows-only + ScalaTest) --
-    "code_pipeline" -> ((s, _) => codePipeline(s, 2000L)
-      .select(col("id"), col("lang"), sha2(col("content"), 256).as("content_sha"))),
+    // full tag → dedupe → mix composition over the documents table: fused
+    // inline attributes (one mapPartitions pass: gopher + pii), exact-dedup
+    // window as the only shuffle, predicate excludes, PII scrub, min-length
+    // gate. Same plan shape as the CodeDocs flagship (`entry`), but over a
+    // parquet table so DuckDB can recompute every stage.
+    "code_pipeline" -> ((s, dir) => {
+      val d = withPiiText(docs(s, dir))
+        .withColumn("id", col("doc_id").cast("string"))
+        .select(col("id"), col("doc_id"), col("text2").as("content"))
+      val taggedDocs = TagRunner.withAttributes(d,
+        Seq("gopher_v2", "pii_regex_with_counts_fast_v2"), "exp",
+        textCol = "content")
+      val merged = Dedup.markDuplicates(taggedDocs, md5(col("content")), col("doc_id"))
+      val cfg = Mixer.MixerConfig(
+        exclude = Seq(
+          col("is_duplicate"),
+          TagRunner.attrScore("exp__gopher_v2__word_count") < 40,
+          TagRunner.attrScore("exp__pii_regex_with_counts_fast_v2__doc_count") > 5),
+        spanReplacements = Seq(
+          Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__EMAIL_ADDRESS", template = "[EMAIL]"),
+          Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__PHONE_NUMBER", template = "[PHONE]"),
+          Mixer.SpanReplacementRule("exp__pii_regex_with_counts_fast_v2__IP_ADDRESS", template = "[IP]")),
+        discardFields = Seq("is_duplicate"),
+        minTextLength = 1)
+      Mixer.mix(merged, cfg, lit("documents"), col("doc_id"))
+        .select(col("doc_id"), sha2(col("content"), 256).as("content_sha"),
+          octet_length(col("content")).cast("long").as("content_bytes"))
+    }),
 
     "langid_fasttext" -> ((s, dir) => {
       val model = Models.langId
@@ -457,7 +484,10 @@ object SparkEntry {
       val d = docs(s, dir)
       val keys = d.filter(col("doc_id") % 2 === 0)
         .select(col("text")).as[String]
-      val bf = graft.dedup.DistributedBloom.build(keys, 10000L, 1e-4)
+      // fp 1e-12 makes the probe exact-membership in expectation at this
+      // scale (<<1 expected FP), so the oracle is plain set membership;
+      // production decontamination runs at the reference's 1e-4
+      val bf = graft.dedup.DistributedBloom.build(keys, 100000L, 1e-12)
       val pairs = d.select(col("doc_id").cast("string"), col("text"))
         .as[(String, String)]
       graft.dedup.DistributedBloom.probe(s, pairs, bf)
@@ -483,6 +513,23 @@ object SparkEntry {
     val wordsSql = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     val wordsLowerSql = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     val tokenRe = "[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]+"
+    val emailRe = "[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\\n\\r]"
+    val phoneRe = "\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})"
+    val ipRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+    // Random-hyperplane planes for ann_lsh_topk: same RNG stream as
+    // Ann.lshBucketedTopK(seed=42, bits=6, dim=64); Double.toString
+    // round-trips, so the literals parse back to the identical doubles.
+    val lshBits = 6
+    val lshDim = 64
+    val lshPlanes = {
+      val rng = new scala.util.Random(42L)
+      Array.fill(lshBits)(Array.fill(lshDim)(rng.nextGaussian()))
+    }
+    def lshBucketSql(vec: String): String =
+      lshPlanes.zipWithIndex.map { case (p, i) =>
+        val lits = p.map(d => java.lang.Double.toString(d)).mkString(",")
+        s"(CASE WHEN list_sum(list_transform(range(1, ${lshDim + 1}), i -> cast($vec[i] AS DOUBLE) * ([$lits])[i])) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
 
     Map(
       "q1_agg" ->
@@ -628,9 +675,6 @@ object SparkEntry {
            |FROM l""".stripMargin,
 
       "tag_pii" -> {
-        val emailRe = "[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\\n\\r]"
-        val phoneRe = "\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})"
-        val ipRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
         s"""WITH t AS (SELECT doc_id, $PiiText2Sql AS text2 FROM documents)
            |SELECT doc_id,
            | len(regexp_extract_all(text2, '$emailRe')) AS emails,
@@ -731,9 +775,6 @@ object SparkEntry {
           |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
 
       "mixer_filter_scrub" -> {
-        val emailRe = "[.\\s@,?!;:)(]*([^\\s@]+@[^\\s@,?!;:)(]+?)[.\\s@,?!;:)(]?[\\s\\n\\r]"
-        val phoneRe = "\\s+\\(?(\\d{3})\\)?[-\\. ]*(\\d{3})[-. ]?(\\d{4})"
-        val ipRe = "(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
         s"""WITH t AS (SELECT doc_id, n_chars, $PiiText2Sql AS text2 FROM documents),
            |s AS (SELECT doc_id,
            |  regexp_replace(regexp_replace(regexp_replace(text2,
@@ -741,7 +782,105 @@ object SparkEntry {
            | FROM t WHERE NOT (n_chars < 150))
            |SELECT doc_id, sha256(content) AS content_sha, strlen(content) AS content_bytes
            |FROM s WHERE strlen(trim(content)) >= 1""".stripMargin
-      }
+      },
+
+      // tag → exact-dedup → predicate-exclude → PII-scrub → min-length:
+      // every stage recomputed relationally by DuckDB
+      "code_pipeline" ->
+        s"""WITH t AS (SELECT doc_id, $PiiText2Sql AS text2 FROM documents),
+           |w AS (SELECT doc_id, text2,
+           |  len(list_filter(string_split_regex(text2, '\\s+'), x -> x <> '')) AS wc,
+           |  len(regexp_extract_all(text2, '$emailRe'))
+           |   + len(regexp_extract_all(text2, '$phoneRe'))
+           |   + len(regexp_extract_all(text2, '$ipRe')) AS pii_cnt,
+           |  CASE WHEN row_number() OVER (PARTITION BY md5(text2) ORDER BY doc_id) > 1
+           |   THEN 1 ELSE 0 END AS is_dup
+           | FROM t),
+           |s AS (SELECT doc_id,
+           |  regexp_replace(regexp_replace(regexp_replace(text2,
+           |    '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g'), '$ipRe', '[IP]', 'g') AS content
+           | FROM w WHERE NOT (is_dup = 1 OR wc < 40 OR pii_cnt > 5))
+           |SELECT doc_id, sha256(content) AS content_sha, strlen(content) AS content_bytes
+           |FROM s WHERE strlen(trim(content)) >= 1""".stripMargin,
+
+      // exact shingle-set Jaccard over 5-word shingles; pair orientation
+      // mirrors the Spark side's string-id comparison
+      "dedup_minhash_pairs" ->
+        """WITH d AS (SELECT doc_id,
+          |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          |      FROM documents),
+          |s AS (SELECT doc_id,
+          |        list_distinct(CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+          |          ELSE list_transform(range(0, len(toks)-5+1), i -> array_to_string(toks[i+1:i+5], ' ')) END) AS sh
+          |      FROM d),
+          |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          |      FROM e a JOIN e b ON a.g = b.g
+          |       AND cast(a.doc_id AS VARCHAR) < cast(b.doc_id AS VARCHAR)
+          |      GROUP BY 1, 2),
+          |j AS (SELECT id_a, id_b,
+          |        cast(shared AS DOUBLE) / cast(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+          |      FROM p
+          |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
+          |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b)
+          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      // first-occurrence n-gram overlap; grams keyed by their string in
+      // SQL (the Spark xxhash64 key is identity-only)
+      "dedup_ngram_overlap" ->
+        """WITH p AS (SELECT doc_id,
+          |        unnest(string_split(text, chr(10))) AS para,
+          |        unnest(range(0, len(string_split(text, chr(10))))) AS para_index
+          |      FROM documents),
+          |t AS (SELECT doc_id, para_index,
+          |        list_filter(string_split_regex(para, '\s+'), x -> x <> '') AS toks
+          |      FROM p WHERE trim(para) <> ''),
+          |g AS (SELECT doc_id, para_index,
+          |        unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+          |          ELSE list_transform(range(0, len(toks)-8+1), s0 -> array_to_string(toks[s0+1:s0+8], ' ')) END) AS gram
+          |      FROM t),
+          |m AS (SELECT doc_id, para_index,
+          |        CASE WHEN row_number() OVER (PARTITION BY gram ORDER BY doc_id, para_index) > 1
+          |         THEN 1 ELSE 0 END AS dup
+          |      FROM g)
+          |SELECT doc_id, para_index,
+          | cast(sum(dup) AS DOUBLE) / cast(count(*) AS DOUBLE) AS overlap_fraction,
+          | CASE WHEN cast(sum(dup) AS DOUBLE) / cast(count(*) AS DOUBLE) >= 0.7
+          |  THEN 1 ELSE 0 END AS is_dup
+          |FROM m GROUP BY 1, 2""".stripMargin,
+
+      // at fp=1e-12 the Bloom probe is exact membership in expectation
+      // (<<1 expected FP at this scale; Verify asserts the equality)
+      "dedup_bloom_probe" ->
+        """SELECT doc_id,
+          | CASE WHEN text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+          |  THEN 1 ELSE 0 END AS might_contain
+          |FROM documents""".stripMargin,
+
+      "ann_lsh_topk" ->
+        s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+           |qb AS (SELECT cast(${lshBucketSql("qv")} AS BIGINT) AS qbucket FROM q),
+           |e AS (SELECT vec_id, embedding, cast(${lshBucketSql("embedding")} AS BIGINT) AS bucket
+           |      FROM embeddings WHERE vec_id <> 0)
+           |SELECT e.vec_id,
+           | list_sum(list_transform(range(1, len(e.embedding)+1),
+           |   i -> cast(e.embedding[i] AS DOUBLE) * cast(q.qv[i] AS DOUBLE)))
+           | / (sqrt(list_sum(list_transform(e.embedding, x -> cast(x AS DOUBLE)*cast(x AS DOUBLE))))
+           |    * sqrt(list_sum(list_transform(q.qv, x -> cast(x AS DOUBLE)*cast(x AS DOUBLE)))))
+           |  AS cosine
+           |FROM e, q, qb
+           |WHERE bit_count(xor(e.bucket, qb.qbucket)) <= 1
+           |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      // the decoder reads dimensions from the deterministic GRFT container
+      // header, so the metadata columns are pure arithmetic on the row id
+      "multimodal_features" ->
+        """SELECT 'm' || i AS id,
+          | CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          | cast(64 + (i * 37) % 512 AS INT) AS width,
+          | cast(64 + (i * 53) % 512 AS INT) AS height,
+          | cast(CASE WHEN i % 3 = 2 THEN 1 + (i * 29) % 64 ELSE 1 END AS INT) AS n_frames
+          |FROM range(200) t(i)""".stripMargin
     ).map { case (k, v) => k -> v.replace("\n", " ") }
   }
 }

@@ -76,6 +76,28 @@ object MinHashLSH {
       .filter(col("est_jaccard") >= minJaccard)
   }
 
+  /** LSH candidates verified with exact shingle-set Jaccard: banding
+    * proposes, the exact join disposes. The output depends only on the
+    * shingle SETS (not on minhash estimation), so it is oracle-checkable;
+    * the residual error is the banding miss probability (1-s^r)^b per
+    * pair at similarity s — ~1e-2 at s=0.5 and ~1e-7 at s=0.8 with
+    * b=16, r=2. Scale shape: candidate pairs are tiny relative to the
+    * corpus, so the two text-fetch joins broadcast the pair list. */
+  def verifiedNearDuplicatePairs(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, numPerms: Int = 32, bands: Int = 16,
+      minJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val cand = nearDuplicatePairs(df, idCol, textCol, k, numPerms, bands,
+      minJaccard = 0.0, maxBucketSize = maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val texts = df.select(idCol.as("__tid"), textCol.as("__ttext"))
+    cand
+      .join(texts.select(col("__tid").as("id_a"), col("__ttext").as("__text_a")), Seq("id_a"))
+      .join(texts.select(col("__tid").as("id_b"), col("__ttext").as("__text_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        exactJaccard(col("__text_a"), col("__text_b"), k).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Exact n-gram Jaccard between two texts (verification stage). */
   def exactJaccard(aText: Column, bText: Column, k: Int): Column = {
     val a = shingleHashes(aText, k)

@@ -39,19 +39,32 @@ object Multimodal {
     def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float])
   }
 
-  /** Deterministic stand-in decoder: hashes bytes into shape + embedding. */
+  /** Deterministic stand-in decoder. Like a real codec it reads the
+    * container header for dimensions (magic "GRFT", u16 width/height, u8
+    * frame count — see [[syntheticMedia]]); the pixel-decode step is the
+    * fake: the embedding is hashed from the payload bytes instead of
+    * running a model. Headerless payloads fall back to hash-derived
+    * dimensions. */
   object FakeDecoder extends MediaDecoder {
     def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
       var h = 0xcbf29ce484222325L
       payload.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
-      val w = 64 + (math.abs(h) % 512).toInt
-      val ht = 64 + (math.abs(h >> 16) % 512).toInt
-      val frames = if (mediaType == "video") 1 + (math.abs(h >> 24) % 64).toInt else 1
       val emb = Array.tabulate(16) { i =>
         val x = graft.functions.Hashing.mix64(h ^ i)
         (x.toDouble / Long.MaxValue).toFloat
       }
-      (w, ht, frames, emb)
+      if (payload.length >= 9 && payload(0) == 'G' && payload(1) == 'R' &&
+          payload(2) == 'F' && payload(3) == 'T') {
+        val w = ((payload(4) & 0xff) << 8) | (payload(5) & 0xff)
+        val ht = ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
+        val frames = payload(8) & 0xff
+        (w, ht, frames, emb)
+      } else {
+        val w = 64 + (math.abs(h) % 512).toInt
+        val ht = 64 + (math.abs(h >> 16) % 512).toInt
+        val frames = if (mediaType == "video") 1 + (math.abs(h >> 24) % 64).toInt else 1
+        (w, ht, frames, emb)
+      }
     }
   }
 
@@ -69,7 +82,10 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic synthetic media table for tests/bench. */
+  /** Deterministic synthetic media table for tests/bench: each payload is
+    * a "GRFT" container — 9-byte header (magic, u16 width = 64+(i*37)%512,
+    * u16 height = 64+(i*53)%512, u8 frames = video ? 1+(i*29)%64 : 1)
+    * followed by hash-noise body bytes. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -79,9 +95,16 @@ object Multimodal {
       val fmt = mediaType match {
         case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
       }
-      val payload = Array.tabulate(128)(j =>
+      val w = 64 + ((i * 37) % 512).toInt
+      val h = 64 + ((i * 53) % 512).toInt
+      val frames = if (mediaType == "video") 1 + ((i * 29) % 64).toInt else 1
+      val header = Array[Byte]('G', 'R', 'F', 'T',
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        (frames & 0xff).toByte)
+      val body = Array.tabulate(119)(j =>
         (graft.functions.Hashing.mix64(i * 131 + j) & 0xff).toByte)
-      (s"m$i", mediaType, fmt, payload)
+      (s"m$i", mediaType, fmt, header ++ body)
     }.toDF("id", "media_type", "format", "payload")
   }
 }
