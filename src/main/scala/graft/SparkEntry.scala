@@ -293,6 +293,47 @@ object SparkEntry {
           ("token_count_v1", "bpe_tokens_estimate", "bpe_est")),
         asLong = Set("ws_tokens", "bpe_est"))),
 
+    // paragraph_repetitions_v1 over constructed two-paragraph texts whose
+    // char-repetition spans (start=5, end=len, score=k for k>=4 units) are
+    // pure arithmetic on doc_id — offsets, scores and doc rollups all
+    // oracle-checked
+    "tag_repetitions" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+        .withColumn("text4", concat(
+          lit("zq xv"), expr("repeat(' echo', cast(doc_id % 7 AS INT))"),
+          lit("\nmu nv"), expr("repeat(' brr', cast((doc_id + 3) % 7 AS INT))")))
+      val attrs = TagRunner.tag(d, Seq("paragraph_repetitions_v1"), "t",
+        idCol = "id", textCol = "text4", roundScores = false)
+      def a(t: String) = graft.core.Attributes.mangle("t", "paragraph_repetitions_v1", t)
+      attrs.select(col("id").cast("long").as("doc_id"),
+        size(TagRunner.attrSpans(a("repetition"))).cast("long").as("n_spans"),
+        TagRunner.attrScore(a("doc_max_score_repetition")).cast("long").as("max_score"),
+        TagRunner.attrScore(a("doc_max_length_repetition")).cast("long").as("max_len"),
+        TagRunner.attrScore(a("doc_frac_repetition")).as("frac"))
+    }),
+
+    // code_composition over planted prose/code line blocks: the line
+    // classifier's decisions are forced by construction, so boundary and
+    // composition columns reduce to doc_id arithmetic the oracle replays
+    "tag_code_composition" -> ((s, dir) => {
+      val p = "the history of science shows careful analysis"
+      val blockEven = s"$p\ndef compute(x):\nreturn x + 1\n"
+      val blockOdd = s"$p\ndef compute(x):\n"
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+        .withColumn("text5", expr(
+          s"repeat(CASE WHEN doc_id % 2 = 0 THEN '$blockEven' ELSE '$blockOdd' END, " +
+            "cast(doc_id % 3 + 1 AS INT))"))
+      val attrs = TagRunner.tag(d, Seq("code_composition"), "t",
+        idCol = "id", textCol = "text5", roundScores = false)
+      def a(t: String) = graft.core.Attributes.mangle("t", "code_composition", t)
+      attrs.select(col("id").cast("long").as("doc_id"),
+        TagRunner.attrScore(a("boundaries")).cast("long").as("boundaries"),
+        TagRunner.attrScore(a("code")).cast("long").as("code_cnt"),
+        TagRunner.attrScore(a("prose")).cast("long").as("prose_cnt"),
+        TagRunner.attrScore(a("code_pct")).as("code_pct"),
+        TagRunner.attrScore(a("prose_pct")).as("prose_pct"))
+    }),
+
     "tag_langid_hits" -> ((s, dir) => {
       val en = Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it")
       val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
@@ -871,6 +912,34 @@ object SparkEntry {
            |FROM e, q, qb
            |WHERE bit_count(xor(e.bucket, qb.qbucket)) <= 1
            |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      // constructed spans: ' echo'*k1 / ' brr'*k2 units match the char
+      // repetition regex iff k>=4, at start 5 with length 5*k1 / 4*k2
+      "tag_repetitions" ->
+        """WITH k AS (SELECT doc_id, doc_id % 7 AS k1, (doc_id + 3) % 7 AS k2 FROM documents)
+          |SELECT doc_id,
+          | cast((CASE WHEN k1 >= 4 THEN 1 ELSE 0 END)
+          |     + (CASE WHEN k2 >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+          | cast(greatest(CASE WHEN k1 >= 4 THEN k1 ELSE 0 END,
+          |               CASE WHEN k2 >= 4 THEN k2 ELSE 0 END) AS BIGINT) AS max_score,
+          | cast(greatest(CASE WHEN k1 >= 4 THEN 5*k1 ELSE 0 END,
+          |               CASE WHEN k2 >= 4 THEN 4*k2 ELSE 0 END) AS BIGINT) AS max_len,
+          | cast((CASE WHEN k1 >= 4 THEN 5*k1 ELSE 0 END)
+          |     + (CASE WHEN k2 >= 4 THEN 4*k2 ELSE 0 END) AS DOUBLE)
+          |  / cast(11 + 5*k1 + 4*k2 AS DOUBLE) AS frac
+          |FROM k""".stripMargin,
+
+      // planted blocks: even docs = (prose, code, code) x r, odd docs =
+      // (prose, code) x r with r = doc_id % 3 + 1
+      "tag_code_composition" ->
+        """WITH k AS (SELECT doc_id, doc_id % 3 + 1 AS r FROM documents)
+          |SELECT doc_id,
+          | cast(2*r - 1 AS BIGINT) AS boundaries,
+          | cast(CASE WHEN doc_id % 2 = 0 THEN 2*r ELSE r END AS BIGINT) AS code_cnt,
+          | cast(r AS BIGINT) AS prose_cnt,
+          | cast(CASE WHEN doc_id % 2 = 0 THEN 0.67 ELSE 0.5 END AS DOUBLE) AS code_pct,
+          | cast(CASE WHEN doc_id % 2 = 0 THEN 0.33 ELSE 0.5 END AS DOUBLE) AS prose_pct
+          |FROM k""".stripMargin,
 
       // the decoder reads dimensions from the deterministic GRFT container
       // header, so the metadata columns are pure arithmetic on the row id

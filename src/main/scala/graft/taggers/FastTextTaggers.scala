@@ -43,12 +43,70 @@ final class FastTextTagger(
       spans += Span(0, docLen, s"doc_$positiveLabel", docScore)
       spans.result()
     } else {
-      val (label, prob) = m.predict(text)
-      val pPos = m.scoreLabel(text, positiveLabel)
+      // one forward pass: both the argmax and P(positive) come from the
+      // same distribution
+      val probs = m.predictProba(text)
+      val (label, prob) = probs.maxBy(_._2)
+      val pPos = probs.collectFirst { case (l, p) if l == positiveLabel => p }.getOrElse(0.0)
       Vector(
         Span(0, docLen, positiveLabel, pPos),
         Span(0, docLen, s"best_$label", prob))
     }
+  }
+}
+
+/** Code/prose composition classifier (ref
+  * /root/reference/python/dolma/taggers/code_composition.py:25-98): each
+  * non-empty stripped line is classified code|prose (lines of ≤3 chars are
+  * "other" with an empty distribution); emits the code↔prose boundary
+  * count, and per observed label its line count, share of lines (Python
+  * round(x, 2)), and mean Shannon entropy (log2) of the label's predicted
+  * distributions. */
+final class CodeCompositionTagger(model: => FastTextClassifier) extends Tagger {
+  val name = "code_composition"
+  private lazy val m = model
+
+  def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+    val docLen = CodePoints.length(text)
+    val counts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val entropySums = scala.collection.mutable.HashMap.empty[String, Double]
+    var active: String = null
+    var boundaries = 0
+    TextSplit.splitLines(text).foreach { raw =>
+      val line = raw.trim
+      if (line.nonEmpty) {
+        var label = "other"
+        var entropy = 0.0
+        if (line.length > 3) {
+          val probs = m.predictProba(line)
+          var best = 0
+          var i = 1
+          while (i < probs.length) { if (probs(i)._2 > probs(best)._2) best = i; i += 1 }
+          label = probs(best)._1
+          i = 0
+          while (i < probs.length) {
+            val p = probs(i)._2
+            if (p > 0) entropy -= p * (math.log(p) / math.log(2.0))
+            i += 1
+          }
+        }
+        counts.update(label, counts.getOrElse(label, 0) + 1)
+        entropySums.update(label, entropySums.getOrElse(label, 0.0) + entropy)
+        if ((active == "code" || active == "prose") &&
+            (label == "code" || label == "prose") && label != active) boundaries += 1
+        active = label
+      }
+    }
+    val total = counts.valuesIterator.sum
+    val out = Vector.newBuilder[Span]
+    out += Span(0, docLen, "boundaries", boundaries.toDouble)
+    counts.foreach { case (label, c) =>
+      out += Span(0, docLen, s"${label}_pct",
+        graft.core.Attributes.roundScore(c.toDouble / total, 2))
+      out += Span(0, docLen, label, c.toDouble)
+      out += Span(0, docLen, s"${label}_entropy", entropySums(label) / c)
+    }
+    out.result()
   }
 }
 
@@ -69,6 +127,28 @@ object FastTextTaggers {
         "clean" -> (1 to 12).map(_ => clean(rng.nextInt(clean.length))).mkString(" "))
     }).flatten
     FastTextClassifier.train(ex, dim = 12, epochs = 6, seed = 13L)
+  }
+
+  /** Tiny code-vs-prose line classifier (stand-in for the reference's
+    * code-comment-prose composition model, trained in-repo on synthetic
+    * code lines vs English prose — FIXTURES.md §5). */
+  lazy val codeProse: FastTextClassifier = {
+    val rng = new scala.util.Random(29L)
+    val codeLines = Vector(
+      "def compute(x):", "return x + 1", "for i in range(10):",
+      "if value == None:", "import os", "x = y * 2", "} else {",
+      "public static void main(String[] args) {", "let v = arr.map(f);",
+      "print(result)", "while (i < n) { i += 1; }", "val out = seq.filter(p)",
+      "def foo():", "x = 1 + 1", "return x", "def bar():", "x = 1.1 * 2.2",
+      "def baz():", "x = 1 / 2")
+    val proseWords = Vector("the", "history", "of", "science", "shows", "that",
+      "careful", "analysis", "reveals", "deep", "structure", "with", "evidence",
+      "following", "function", "numbers", "result", "we", "demonstrate",
+      "returns", "together", "finally", "how", "divide", "two")
+    val ex = (for (_ <- 1 to 80) yield Seq(
+      "code" -> codeLines(rng.nextInt(codeLines.length)),
+      "prose" -> ((1 to 8).map(_ => proseWords(rng.nextInt(proseWords.length))).mkString(" ") + "."))).flatten
+    FastTextClassifier.train(ex, dim = 12, epochs = 8, seed = 29L)
   }
 
   /** Tiny quality model: "wiki-like" prose vs keyboard-mash noise. */
@@ -105,5 +185,7 @@ object FastTextTaggers {
     TaggerRegistry.register("ft_quality_document_v1")(
       new FastTextTagger("ft_quality_document_v1", quality, "hq",
         paragraphLevel = false))
+    TaggerRegistry.register("code_composition")(
+      new CodeCompositionTagger(codeProse))
   }
 }

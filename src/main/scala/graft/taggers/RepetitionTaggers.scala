@@ -96,45 +96,79 @@ object RepetitionTaggers {
     if (run > 0) a.length - run else -1
   }
 
+  private val CharRepRe = Pattern.compile("(.+?)(\\s?\\1){3,}")
+
+  /** Char-repetition spans of one text (repetitions_taggers.py:75-81). */
+  private def extractCharReps(text: String): Vector[Span] = {
+    val bmp = CodePoints.isBmpOnly(text)
+    def cp(i: Int): Long =
+      if (bmp) i.toLong else CodePoints.charToCodePointIndex(text, i).toLong
+    val found = ArrayBuffer.empty[Span]
+    val m = CharRepRe.matcher(text)
+    while (m.find()) {
+      val unit = m.group(1)
+      val whole = m.group(0)
+      // Python str.count: non-overlapping occurrences
+      var count = 0; var idx = whole.indexOf(unit)
+      while (idx >= 0) { count += 1; idx = whole.indexOf(unit, idx + unit.length) }
+      found += Span(cp(m.start), cp(m.end), "repetition", count.toDouble)
+    }
+    found.toVector
+  }
+
   final class CharRepetitionsTagger extends Tagger {
     val name = "repetitions_v1"
-    private val re = Pattern.compile("(.+?)(\\s?\\1){3,}")
+    def predict(text: String, meta: Map[String, String]): Vector[Span] =
+      withDocStats(extractCharReps(text), text)
+  }
 
+  /** paragraph_repetitions_v1 (repetitions_taggers.py:84-97): the char
+    * regex per paragraph (remove_empty=False), spans shifted by the
+    * paragraph's code-point offset. Faster than whole-doc (the lazy
+    * backtracking regex is super-linear in input length) but blind to
+    * repetitions spanning a paragraph break. */
+  final class ParagraphCharRepetitionsTagger extends Tagger {
+    val name = "paragraph_repetitions_v1"
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
-      val bmp = CodePoints.isBmpOnly(text)
-      def cp(i: Int): Long =
-        if (bmp) i.toLong else CodePoints.charToCodePointIndex(text, i).toLong
-      val found = ArrayBuffer.empty[Span]
-      val m = re.matcher(text)
-      while (m.find()) {
-        val unit = m.group(1)
-        val whole = m.group(0)
-        // Python str.count: non-overlapping occurrences
-        var count = 0; var idx = whole.indexOf(unit)
-        while (idx >= 0) { count += 1; idx = whole.indexOf(unit, idx + unit.length) }
-        found += Span(cp(m.start), cp(m.end), "repetition", count.toDouble)
+      val spans = Vector.newBuilder[Span]
+      TextSplit.splitParagraphs(text, removeEmpty = false).foreach { p =>
+        extractCharReps(p.text).foreach(s =>
+          spans += s.copy(start = s.start + p.start, end = s.end + p.start))
       }
-      withDocStats(found.toVector, text)
+      withDocStats(spans.result(), text)
     }
   }
 
-  /** Periodic token sequences (tokenizer_repetitions_v2r2 semantics:
-    * overlap-dedup, 100k-char chunking, no stats when empty —
-    * repetitions_taggers.py:147-174). */
-  final class TokenRepetitionsTagger(emitStatsWhenEmpty: Boolean = false) extends Tagger {
-    val name = "tokenizer_repetitions_v2r2"
+  /** Periodic token sequences over one text slice (the shared
+    * `_extract_from_text` of repetitions_taggers.py:100-126). */
+  private def extractTokenReps(text: String): Vector[Span] = {
+    val tokens = TextSplit.wordTokens(text)
+    if (tokens.isEmpty) return Vector.empty
+    val ids = tokens.map(t => t.text.hashCode & 0x7fffffff).toArray
+    val seqs = findPeriodicSequences(ids, maxPeriod = 13, minPeriod = 1)
+    seqs.map { s =>
+      Span(tokens(s.start).start, tokens(s.end - 1).end, "repetition", s.times.toDouble)
+    }
+  }
+
+  /** Periodic token sequences, three reference variants:
+    * - `tokenizer_repetitions_v1` (repetitions_taggers.py:100-126): raw
+    *   spans, stats always.
+    * - `paragraph_tokenizer_repetitions_v1` (129-144): per paragraph with
+    *   the " "-prefix offset trick, stats always.
+    * - `tokenizer_repetitions_v2r2` (147-174): overlap-dedup of contained
+    *   spans, 100k-char chunking, no stats when empty. */
+  final class TokenRepetitionsTagger(
+      val name: String = "tokenizer_repetitions_v2r2",
+      emitStatsWhenEmpty: Boolean = false,
+      overlapDedup: Boolean = true,
+      chunked: Boolean = true,
+      perParagraph: Boolean = false) extends Tagger {
     private val MaxChunk = 100000
-    private val MinPeriod = 1
-    private val MaxPeriod = 13
 
     private def extractChunk(text: String): Vector[Span] = {
-      val tokens = TextSplit.wordTokens(text)
-      if (tokens.isEmpty) return Vector.empty
-      val ids = tokens.map(t => t.text.hashCode & 0x7fffffff).toArray
-      val seqs = findPeriodicSequences(ids, MaxPeriod, MinPeriod)
-      val spans = seqs.map { s =>
-        Span(tokens(s.start).start, tokens(s.end - 1).end, "repetition", s.times.toDouble)
-      }
+      val spans = extractTokenReps(text)
+      if (!overlapDedup) return spans
       // overlap-dedup: sort by (start, -end, -score), skip contained
       val sorted = spans.sortBy(s => (s.start, -s.end, -s.score))
       var prevStart = -1L; var prevEnd = -1L
@@ -151,12 +185,23 @@ object RepetitionTaggers {
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
       val n = CodePoints.length(text)
       val found = Vector.newBuilder[Span]
-      var off = 0
-      while (off < n) {
-        val chunk = CodePoints.slice(text, off, off + MaxChunk)
-        extractChunk(chunk).foreach(s =>
-          found += s.copy(start = s.start + off, end = s.end + off))
-        off += MaxChunk
+      if (perParagraph) {
+        // " " prefix keeps the first token's id stable across paragraph
+        // boundaries (repetitions_taggers.py:135-141); spans shift by -1
+        TextSplit.splitParagraphs(text, removeEmpty = false).foreach { p =>
+          extractChunk(" " + p.text).foreach(s =>
+            found += s.copy(start = s.start + p.start - 1, end = s.end + p.start - 1))
+        }
+      } else if (chunked) {
+        var off = 0
+        while (off < n) {
+          val chunk = CodePoints.slice(text, off, off + MaxChunk)
+          extractChunk(chunk).foreach(s =>
+            found += s.copy(start = s.start + off, end = s.end + off))
+          off += MaxChunk
+        }
+      } else {
+        found ++= extractChunk(text)
       }
       val spans = found.result()
       if (spans.isEmpty && !emitStatsWhenEmpty) Vector.empty
@@ -179,6 +224,13 @@ object RepetitionTaggers {
 
   def registerAll(): Unit = {
     TaggerRegistry.register("repetitions_v1")(new CharRepetitionsTagger)
+    TaggerRegistry.register("paragraph_repetitions_v1")(new ParagraphCharRepetitionsTagger)
+    TaggerRegistry.register("tokenizer_repetitions_v1")(new TokenRepetitionsTagger(
+      "tokenizer_repetitions_v1", emitStatsWhenEmpty = true,
+      overlapDedup = false, chunked = false))
+    TaggerRegistry.register("paragraph_tokenizer_repetitions_v1")(new TokenRepetitionsTagger(
+      "paragraph_tokenizer_repetitions_v1", emitStatsWhenEmpty = true,
+      overlapDedup = false, chunked = false, perParagraph = true))
     TaggerRegistry.register("tokenizer_repetitions_v2r2")(new TokenRepetitionsTagger())
   }
 }

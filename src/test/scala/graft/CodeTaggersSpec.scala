@@ -71,4 +71,57 @@ class CodeTaggersSpec extends AnyFunSuite {
     assert(t.predict(py, Map("lang" -> "text"))
       .find(_.typ == "code_to_comment_ratio_doc").get.score == 0.5)
   }
+
+  // ---- code_composition (test_code_composition.py, run against the
+  // in-repo code/prose model instead of the HF-hosted weights) ----
+
+  private def composition(text: String): Map[String, Double] =
+    graft.taggers.TaggerRegistry.resolve("code_composition")
+      .predict(text).map(s => s.typ -> s.score).toMap
+
+  test("code_composition: pure code text (test_code_composition.py:63-79)") {
+    val scores = composition("\ndef foo():\n    if True:\n        print(\"Hello, world!\")\n")
+    assert(scores.keySet == Set("boundaries", "code_pct", "code", "code_entropy"))
+    assert(scores("boundaries") == 0.0)
+    assert(scores("code_pct") == 1.0)
+    assert(scores("code") == 3.0)
+  }
+
+  test("code_composition: pure prose text (test_code_composition.py:46-61)") {
+    val scores = composition(
+      "\nthe history of science shows that careful analysis reveals deep structure with evidence.\n")
+    assert(scores.keySet == Set("boundaries", "prose_pct", "prose", "prose_entropy"))
+    assert(scores("boundaries") == 0.0)
+    assert(scores("prose_pct") == 1.0)
+    assert(scores("prose") == 1.0)
+  }
+
+  test("code_composition: mixed text counts boundaries (test_code_composition.py:81-103)") {
+    val text =
+      "\nthe following function shows how we demonstrate numbers together.\n" +
+        "we demonstrate the result that returns.\n\n" +
+        "def foo():\n    x = 1 + 1\n    return x\n\n" +
+        "the history of science shows careful analysis.\n" +
+        "finally we demonstrate how the result returns.\n" +
+        "we demonstrate how to divide two numbers.\n\n" +
+        "def bar():\n    x = 1.1 * 2.2\n    return x\n\n" +
+        "finally we show how the numbers divide.\n\n" +
+        "def baz():\n    x = 1 / 2\n    return x\n"
+    val scores = composition(text)
+    // prose->code, code->prose, prose->code, code->prose, prose->code = 5
+    assert(scores("boundaries") == 5.0)
+    assert(scores("code") == 9.0)
+    assert(scores("prose") == 6.0)
+    assert(scores("code_pct") == 0.6)   // round(9/15, 2)
+    assert(scores("prose_pct") == 0.4)
+    assert(scores("code_entropy") < 0.5)
+  }
+
+  test("code_composition: short lines are 'other' with zero entropy") {
+    val scores = composition("ok\nno\n")
+    assert(scores("boundaries") == 0.0)
+    assert(scores("other") == 2.0)
+    assert(scores("other_pct") == 1.0)
+    assert(scores("other_entropy") == 0.0)
+  }
 }

@@ -94,4 +94,83 @@ class RepetitionsSpec extends AnyFunSuite {
     assert(spans.exists(_.typ == "repetition"))
     assert(t.predict("all words here are completely different tokens").isEmpty)
   }
+
+  private val DocWithReps =
+    "\nThis is a text with repetitions.\nThis is a text with repetitions repetitions.\n" +
+      "This is a text with repetitions repetitions repetitions.\n" +
+      "This is a text with repetitions repetitions repetitions repetitions.\n\n" +
+      "blah blah blah blah blah\n\n" +
+      "No reps at the beginning of this sentence but MMMMMMMMMM\n\n" +
+      "Seeing doubles: bass banana bass banana bass banana bass banana\n"
+
+  test("paragraph_repetitions_v1 equals repetitions_v1 on the reference doc (test_repetitions.py:50-88)") {
+    // none of the reference doc's repetitions cross a paragraph break, so
+    // the reference asserts span-for-span equality of the two taggers
+    val whole = new RepetitionTaggers.CharRepetitionsTagger
+    val para = new RepetitionTaggers.ParagraphCharRepetitionsTagger
+    assert(para.predict(DocWithReps) == whole.predict(DocWithReps))
+    // and on a no-repetition doc both emit just the three zero stats
+    val clean = "\nThis is a text without repetitions.\n\nAbsolutely no repetitions here.\n"
+    val ps = para.predict(clean)
+    assert(ps.map(_.typ) ==
+      Vector("doc_max_score_repetition", "doc_max_length_repetition", "doc_frac_repetition"))
+    assert(ps.forall(_.score == 0.0))
+    assert(ps == whole.predict(clean))
+  }
+
+  test("paragraph_repetitions_v1 shifts spans by paragraph offset") {
+    val doc = "clean first line\nblah blah blah blah blah\n"
+    val spans = new RepetitionTaggers.ParagraphCharRepetitionsTagger().predict(doc)
+    val rep = spans.filter(_.typ == "repetition")
+    assert(rep.length == 1)
+    assert(graft.core.CodePoints.slice(doc, rep.head.start.toInt, rep.head.end.toInt)
+      == "blah blah blah blah blah")
+    // but it cannot see a repetition that spans the paragraph break
+    val crossing = "blah blah bl\nah blah blah\n"
+    assert(!new RepetitionTaggers.ParagraphCharRepetitionsTagger()
+      .predict(crossing).exists(_.typ == "repetition"))
+  }
+
+  test("tokenizer_repetitions_v1 keeps stats when empty; v2r2 does not (test_repetitions.py:169-180)") {
+    val v1 = new RepetitionTaggers.TokenRepetitionsTagger(
+      "tokenizer_repetitions_v1", emitStatsWhenEmpty = true,
+      overlapDedup = false, chunked = false)
+    val v2 = new RepetitionTaggers.TokenRepetitionsTagger()
+    val clean = "Nothing to note."
+    assert(v1.predict(clean).length == 3)  // the three zero doc stats
+    assert(v1.predict(clean).forall(_.score == 0.0))
+    assert(v2.predict(clean).isEmpty)
+  }
+
+  test("tokenizer_repetitions_v1 emits overlapping spans that v2r2 dedups (test_repetitions.py:143-167)") {
+    // period-2 "foo bar" x4 also contains the period-4 "foo bar foo bar"
+    // x2... construct a run where both period-1 and a longer period fire:
+    // "a a a a a a" gives period-1 times=6; nothing to dedup. Use a text
+    // where a contained span exists: w x w x w x w x -> period 2 times 4
+    // and period 4 times 2 (dropped: times<=2), so plant nested runs:
+    val text = "q z q z q z q z q z q z"  // period 2, times 6; period 4, times 3; period 6, times 2
+    val v1 = new RepetitionTaggers.TokenRepetitionsTagger(
+      "tokenizer_repetitions_v1", emitStatsWhenEmpty = true,
+      overlapDedup = false, chunked = false)
+    val v2 = new RepetitionTaggers.TokenRepetitionsTagger()
+    val v1Reps = v1.predict(text).filter(_.typ == "repetition")
+    val v2Reps = v2.predict(text).filter(_.typ == "repetition")
+    assert(v1Reps.length > v2Reps.length)  // contained duplicates survive in v1
+    assert(v2Reps.length == 1)
+    // times = 7 on a fully-periodic array: np.roll wraps, so the boundary
+    // rows extend the run by one period (utils.py:84-101 quirk, kept)
+    assert(v2Reps.head.score == 7.0)
+  }
+
+  test("paragraph_tokenizer_repetitions_v1 shifts by paragraph offset") {
+    val doc = "first clean paragraph here\nfoo bar foo bar foo bar foo bar\n"
+    val t = new RepetitionTaggers.TokenRepetitionsTagger(
+      "paragraph_tokenizer_repetitions_v1", emitStatsWhenEmpty = true,
+      overlapDedup = false, chunked = false, perParagraph = true)
+    val reps = t.predict(doc).filter(_.typ == "repetition")
+    assert(reps.nonEmpty)
+    val s = reps.maxBy(_.score)
+    assert(graft.core.CodePoints.slice(doc, s.start.toInt, s.end.toInt)
+      .contains("foo bar foo bar"))
+  }
 }
