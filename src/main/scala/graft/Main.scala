@@ -56,21 +56,37 @@ object Main {
     val input = cfg.get("input")
     val idColName = opt(input, "id").getOrElse("id")
     val textColName = opt(input, "text").getOrElse("content")
-    val raw = opt(input, "format").getOrElse("parquet") match {
+    val inFormat = opt(input, "format").getOrElse("parquet")
+    val raw0 = inFormat match {
       case "jsonl" => graft.sources.Jsonl.readDocuments(spark, input.get("path").asText())
       case _ => spark.read.parquet(input.get("path").asText())
     }
-    var docs = raw
+
+    // file-grain resume (same unit as the reference's skip-if-exists
+    // done-markers, core/parallel.py:229-231): diff the driver-side file
+    // listing against the ledger and re-read only the pending files. The
+    // ledger stays O(input files) — never O(documents) — and a resumed
+    // run does zero I/O on completed shards.
+    val ledger = Option(cfg.get("ledger")).map(n => Checkpoint(spark, n.asText()))
+    val allFiles = raw0.inputFiles.toSeq.sorted
+    val doneKeys = ledger.map(_.completedKeySet()).getOrElse(Set.empty[String])
+    val pendingFiles = allFiles.filterNot(doneKeys)
+    val raw =
+      if (pendingFiles.size == allFiles.size) raw0
+      else if (pendingFiles.isEmpty) raw0.where(lit(false)) // empty, schema kept
+      else {
+        val rd = spark.read.schema(raw0.schema)
+        if (inFormat == "jsonl") rd.json(pendingFiles: _*)
+        else rd.parquet(pendingFiles: _*)
+      }
+
+    val docs = raw
       .withColumnRenamed(idColName, "id")
       .withColumnRenamed(textColName, "content")
       // capture provenance columns at scan time — after joins the scan is
       // no longer the unique source for input_file_name()
       .withColumn("__file", input_file_name())
       .withColumn("__ord", monotonically_increasing_id())
-
-    // resume: drop already-completed ids
-    val ledger = Option(cfg.get("ledger")).map(n => Checkpoint(spark, n.asText()))
-    ledger.foreach { l => docs = l.pending(docs, "id") }
 
     // tag (fused battery)
     val taggers = Option(cfg.get("taggers")).map(_.elements().asScala.map(_.asText()).toSeq)
@@ -79,15 +95,21 @@ object Main {
     val attrs =
       if (taggers.nonEmpty) Some(TagRunner.tag(docs, taggers, experiment)) else None
 
-    attrs.foreach { a =>
-      Option(cfg.get("attributes_output")).foreach(p =>
-        a.write.mode("overwrite").parquet(p.asText()))
+    // attribute sink: when requested, write ONCE and merge from the
+    // written files so the tagger battery never evaluates twice
+    val attrsForMerge = attrs.map { a =>
+      Option(cfg.get("attributes_output")) match {
+        case Some(p) =>
+          a.write.mode("overwrite").parquet(p.asText())
+          spark.read.parquet(p.asText())
+        case None => a
+      }
     }
 
     // dedupe (exact, first occurrence)
     val dedupEnabled = Option(cfg.get("dedupe")).exists(d =>
       Option(d.get("enabled")).forall(_.asBoolean(true)))
-    var withAttrs = Mixer.mergeAttributes(docs, attrs.toSeq)
+    var withAttrs = Mixer.mergeAttributes(docs, attrsForMerge.toSeq)
     if (dedupEnabled) {
       withAttrs = graft.dedup.Dedup.markDuplicates(
         withAttrs, sha2(col("content"), 256), col("__ord"))
@@ -117,27 +139,67 @@ object Main {
       discardFields = Seq("is_duplicate"),
       minTextLength = Option(cfg.get("min_text_length")).map(_.asInt()).getOrElse(0))
 
+    // decision metrics ride the output write as a CollectMetrics node
+    // (Dataset.observe): zero extra evaluations of the pipeline
+    val metricsOut = Option(cfg.get("metrics_output")).map(_.asText())
+    val ruleNames = "total" +:
+      (if (dedupEnabled) Seq("dropped_duplicate") else Seq.empty)
+    val rulesObs = new org.apache.spark.sql.Observation()
+    if (metricsOut.isDefined) {
+      val aggs = Metrics.ruleMetricExprs(
+        if (dedupEnabled) Seq("dropped_duplicate" -> col("is_duplicate"))
+        else Seq.empty)
+      withAttrs = withAttrs.observe(rulesObs, aggs.head, aggs.tail: _*)
+    }
+    val rowsObs = new org.apache.spark.sql.Observation()
     val mixed = Mixer.mix(withAttrs, mixCfg,
         element_at(split(col("__file"), "/"), -1), col("__ord"))
       .drop("attributes", "__ord", "__file")
+      .observe(rowsObs, count(lit(1)).as("rows_written"))
 
-    // metrics + lineage
-    Option(cfg.get("metrics_output")).foreach { p =>
-      Metrics.partitionLineage(mixed, col("id"))
-        .write.mode("overwrite").parquet(p.asText() + "/lineage")
-      Metrics.ruleMetrics(withAttrs,
-        (if (dedupEnabled) Seq("dropped_duplicate" -> col("is_duplicate")) else Nil))
-        .write.mode("overwrite").parquet(p.asText() + "/rules")
-    }
-
+    // the single evaluation of the pipeline: the output write
     val out = cfg.get("output")
-    opt(out, "format").getOrElse("parquet") match {
-      case "jsonl" => graft.sources.Jsonl.writeDocuments(mixed, out.get("path").asText())
-      case _ => mixed.write.mode("overwrite").parquet(out.get("path").asText())
+    val outPath = out.get("path").asText()
+    val outFormat = opt(out, "format").getOrElse("parquet")
+    outFormat match {
+      case "jsonl" => graft.sources.Jsonl.writeDocuments(mixed, outPath)
+      case _ => mixed.write.mode("overwrite").parquet(outPath)
+    }
+    val rowsWritten = rowsObs.get.get("rows_written") match {
+      case Some(n: Number) => n.longValue()
+      case _ => 0L
     }
 
-    // ledger commit (idempotent append)
-    ledger.foreach(_.commit(mixed.select(col("id")), "id", rowsWritten = -1L))
+    // metrics: rules from the observation (a driver-side row), lineage
+    // from a column-pruned scan of the files just written — neither
+    // re-runs the pipeline
+    metricsOut.foreach { p =>
+      val obsRow = rulesObs.get
+      val values = ruleNames.map(n => obsRow.get(n) match {
+        case Some(v: Number) => v.longValue()
+        case _ => 0L
+      })
+      spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row.fromSeq(values)),
+        org.apache.spark.sql.types.StructType(ruleNames.map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType))))
+        .write.mode("overwrite").parquet(p + "/rules")
+      val written = outFormat match {
+        case "jsonl" => graft.sources.Jsonl.readDocuments(spark, outPath)
+        case _ => spark.read.parquet(outPath)
+      }
+      Metrics.fileLineage(written, col("id"))
+        .write.mode("overwrite").parquet(p + "/lineage")
+    }
+
+    // ledger commit: the pending input files, at file grain (idempotent
+    // append; rows_written records this run's total)
+    ledger.foreach { l =>
+      import spark.implicits._
+      l.commit(pendingFiles.toDF("key"), "key", rowsWritten)
+    }
   }
 
   private def opt(n: JsonNode, field: String): Option[String] =

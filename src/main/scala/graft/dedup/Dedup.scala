@@ -57,7 +57,17 @@ object Dedup {
   /** Paragraph-level dedup (deduper.rs:320-379): explode paragraphs
     * (separator `\n`), mark re-seen paragraph texts; emits one row per
     * duplicate paragraph with its span — the attribute the reference
-    * writes. Returns `(id, para_index, start, end, is_duplicate)`. */
+    * writes. Returns `(id, para_index, para, is_duplicate)`.
+    *
+    * Scale: the window is keyed on a 96-bit hash of the paragraph
+    * (xxhash64 + murmur3 — independent functions; chaining xxhash64 with a
+    * literal would NOT add independent bits since Spark seeds the chain
+    * with the running hash), never on the raw text. Because no window
+    * expression references `para`, Catalyst prunes the text out of the
+    * shuffle whenever the caller doesn't select it — shuffle bytes become
+    * O(rows × 16B key) instead of O(corpus text). Collision-induced false
+    * positives (~2^-96 per pair) are far below the reference Bloom
+    * filter's configured 1e-4 FP rate. */
   def paragraphDuplicates(
       df: DataFrame,
       idCol: Column,
@@ -66,11 +76,15 @@ object Dedup {
     val paras = df
       .select(idCol.as("id"), orderCol.as("__ord"),
         posexplode(split(textCol, "\n")).as(Seq("para_index", "para")))
-    val w = Window.partitionBy(col("para")).orderBy(col("__ord"), col("para_index"))
+      .withColumn("__h1", xxhash64(col("para")))
+      .withColumn("__h2", hash(col("para")))
+      .withColumn("__nonempty", trim(col("para")) =!= "")
+    val w = Window.partitionBy(col("__h1"), col("__h2"))
+      .orderBy(col("__ord"), col("para_index"))
     paras
       .withColumn("is_duplicate",
-        trim(col("para")) =!= "" && row_number().over(w) > 1)
-      .drop("__ord")
+        col("__nonempty") && row_number().over(w) > 1)
+      .drop("__ord", "__h1", "__h2", "__nonempty")
   }
 
   /** N-gram-overlap paragraph dedup (deduper.rs:380-466): uniseg-style

@@ -24,6 +24,18 @@ import org.apache.spark.sql.Row
   */
 object TagRunner {
 
+  /** Set by each tag()/withAttributes() call: accumulator counting the
+    * documents that flowed through that battery. Test hook for
+    * single-evaluation assertions (task retries can overcount on a real
+    * cluster; exact in local mode). */
+  @volatile var lastDocsTagged: Option[org.apache.spark.util.LongAccumulator] = None
+
+  private def newDocCounter(spark: org.apache.spark.sql.SparkSession) = {
+    val acc = spark.sparkContext.longAccumulator("graft.docs_tagged")
+    lastDocsTagged = Some(acc)
+    acc
+  }
+
   val spanTripleType: DataType =
     ArrayType(StructType(Seq(
       StructField("start", LongType, nullable = false),
@@ -54,12 +66,14 @@ object TagRunner {
     val inputEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(df.select(cols: _*).schema)
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(attrSchema)
+    val docCounter = newDocCounter(spark)
 
     df.select(cols: _*).mapPartitions { rows =>
       // per-partition tagger instantiation: compiled regexes / model
       // weights are built once per task, not per row
       val taggers = names.map(TaggerRegistry.resolve)
       rows.map { row =>
+        docCounter.add(1L)
         val id = row.getString(0)
         val text = if (row.isNullAt(1)) "" else row.getString(1)
         val meta = metaNames.zipWithIndex.map { case (m, i) =>
@@ -107,10 +121,12 @@ object TagRunner {
     val outSchema = inputSchema.add(StructField(outputCol,
       MapType(StringType, spanTripleType), nullable = false))
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val docCounter = newDocCounter(df.sparkSession)
 
     df.mapPartitions { rows =>
       val taggers = names.map(TaggerRegistry.resolve)
       rows.map { row =>
+        docCounter.add(1L)
         val text = if (row.isNullAt(textIdx)) "" else row.getString(textIdx)
         val meta = metaNames.zip(metaIdx).map { case (m, i) =>
           m -> (if (row.isNullAt(i)) "" else row.get(i).toString)

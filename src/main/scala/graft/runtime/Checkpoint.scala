@@ -36,6 +36,13 @@ final class Checkpoint(spark: SparkSession, ledgerPath: String) {
   def pending(work: DataFrame, keyCol: String): DataFrame =
     work.join(completed().select(col("key").as(keyCol)), Seq(keyCol), "left_anti")
 
+  /** Driver-side completed-key set. Only valid for file/shard-grain
+    * ledgers (bounded by input file count, not corpus cardinality); at
+    * extreme file counts (>10^7) use [[pending]]'s distributed anti-join
+    * instead of collecting. */
+  def completedKeySet(): Set[String] =
+    completed().select(col("key")).collect().map(_.getString(0)).toSet
+
   /** Record completed units with lineage counters. */
   def commit(keys: DataFrame, keyCol: String, rowsWritten: Long): Unit = {
     keys.select(col(keyCol).cast("string").as("key"))

@@ -17,22 +17,23 @@ import org.apache.spark.sql.functions._
   */
 object Metrics {
 
-  /** One row per Spark partition: row count + cheap integrity hash. */
-  def partitionLineage(df: DataFrame, idCol: Column): DataFrame =
-    df.select(spark_partition_id().as("partition_id"), idCol.as("__id"))
-      .groupBy(col("partition_id"))
+  /** One row per written output file: row count + integrity hash — the
+    * audit/resume grain. Intended to run over a re-scan of the files just
+    * written (column-pruned to the id), never by re-evaluating the
+    * pipeline that produced them. */
+  def fileLineage(df: DataFrame, idCol: Column): DataFrame =
+    df.select(input_file_name().as("file"), idCol.as("__id"))
+      .groupBy(col("file"))
       .agg(count(lit(1)).as("rows"),
-        // decimal sum: a long sum of 64-bit hashes overflows under ANSI
         sum(xxhash64(col("__id")).cast("decimal(38,0)")).as("id_hash_sum"))
 
-  /** Keep/drop decision metrics for a set of named boolean rules: for
-    * each rule, how many rows it fires on (rules may overlap). One pass,
-    * map-side combinable. */
-  def ruleMetrics(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
-    val aggs = count(lit(1)).as("total") +:
+  /** Keep/drop decision metric expressions for a set of named boolean
+    * rules: for each rule, how many rows it fires on (rules may overlap).
+    * Designed to ride an output write as a `Dataset.observe`
+    * CollectMetrics node — one pass, zero extra evaluations. */
+  def ruleMetricExprs(rules: Seq[(String, Column)]): Seq[Column] =
+    count(lit(1)).as("total") +:
       rules.map { case (name, c) =>
         sum(when(coalesce(c, lit(false)), 1L).otherwise(0L)).as(name)
       }
-    df.agg(aggs.head, aggs.tail: _*)
-  }
 }

@@ -38,6 +38,10 @@ class MainSpec extends AnyFunSuite {
 
     Main.run(spark, cfg)
 
+    // single evaluation: every document flowed through the tagger battery
+    // exactly once despite attrs/output/metrics/ledger all being written
+    assert(graft.operators.TagRunner.lastDocsTagged.get.value == 200L)
+
     val out = spark.read.parquet(s"$dir/out")
     val n1 = out.count()
     assert(n1 > 0)
@@ -49,9 +53,18 @@ class MainSpec extends AnyFunSuite {
 
     val lineage = spark.read.parquet(s"$dir/metrics/lineage")
     assert(lineage.agg(sum("rows")).as[Long].head() == n1)
+    val rules = spark.read.parquet(s"$dir/metrics/rules")
+    assert(rules.select("total").as[Long].head() == 200L)
 
-    // resume: second run sees everything completed → writes 0 rows
+    // ledger is file-grain: one key per input file, not per document
+    val ledger = spark.read.parquet(s"$dir/ledger")
+    val nInputFiles = spark.read.parquet(s"$dir/input").inputFiles.length
+    assert(ledger.count() == nInputFiles)
+
+    // resume: second run sees everything completed → writes 0 rows and
+    // tags 0 documents (zero I/O on completed shards)
     Main.run(spark, cfg)
     assert(spark.read.parquet(s"$dir/out").count() == 0)
+    assert(graft.operators.TagRunner.lastDocsTagged.get.value == 0L)
   }
 }
