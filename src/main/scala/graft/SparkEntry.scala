@@ -334,6 +334,29 @@ object SparkEntry {
         TagRunner.attrScore(a("prose_pct")).as("prose_pct"))
     }),
 
+    // URL blocklist battery over synthesized metadata URLs: hosts-format
+    // domain list + ABP engine; block/no-block is doc_id arithmetic
+    "tag_url_blocklist" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+        .withColumn("url", concat(lit("https://"),
+          when(col("doc_id") % 5 === 0, lit("sub.ads.example.net"))
+            .when(col("doc_id") % 5 === 1, lit("www.tracker.example.org"))
+            .when(col("doc_id") % 5 === 2, lit("phish.example.com"))
+            .otherwise(lit("clean.example.io")),
+          when(col("doc_id") % 5 === 2, lit("/login")).otherwise(lit("/x"))))
+      val attrs = TagRunner.tag(d, Seq("blocklist_project_ads_v1",
+          "link_blocklist_phishing_v1", "oisd_small_abp_v1"), "t",
+        idCol = "id", textCol = "text", metaCols = Seq("url"))
+      def a(t: String) = graft.core.Attributes.mangle("t", t, "url")
+      attrs.select(col("id").cast("long").as("doc_id"),
+        size(TagRunner.attrSpans(a("blocklist_project_ads_v1")))
+          .cast("long").as("hosts_hit"),
+        size(TagRunner.attrSpans(a("link_blocklist_phishing_v1")))
+          .cast("long").as("link_hit"),
+        size(TagRunner.attrSpans(a("oisd_small_abp_v1")))
+          .cast("long").as("abp_hit"))
+    }),
+
     "tag_langid_hits" -> ((s, dir) => {
       val en = Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it")
       val de = Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den")
@@ -912,6 +935,16 @@ object SparkEntry {
            |FROM e, q, qb
            |WHERE bit_count(xor(e.bucket, qb.qbucket)) <= 1
            |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      // synthesized URLs: each blocklist family hits exactly one doc_id
+      // residue class (hosts list needs the exact host, the link list the
+      // cleaned host+path, the ABP host-anchor also catches the subdomain)
+      "tag_url_blocklist" ->
+        """SELECT doc_id,
+          | cast(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS BIGINT) AS hosts_hit,
+          | cast(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS BIGINT) AS link_hit,
+          | cast(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS abp_hit
+          |FROM documents""".stripMargin,
 
       // constructed spans: ' echo'*k1 / ' brr'*k2 units match the char
       // repetition regex iff k>=4, at start 5 with length 5*k1 / 4*k2

@@ -33,40 +33,111 @@ final class FastTextClassifier(
     * (language.py:159). */
   def normalize(text: String): String = text.toLowerCase.replace('\n', ' ')
 
-  def features(text: String): Array[Int] = {
-    val buf = mutable.ArrayBuffer.empty[Int]
-    val words = TextSplit.pythonSplit(normalize(text))
-    words.foreach { w =>
-      buf += FastTextClassifier.hash(w, buckets)
-      // char n-grams over "<w>" like fastText's subword features
-      val padded = "<" + w + ">"
-      var n = minn
-      while (n <= maxn) {
-        var i = 0
-        while (i + n <= padded.length) {
-          buf += FastTextClassifier.hash(padded.substring(i, i + n), buckets)
-          i += 1
-        }
-        n += 1
-      }
+  /** Per-thread scratch: feature buffer + hidden/probability arrays. The
+    * model is broadcast and shared by every task thread in an executor, so
+    * reusable state must be thread-local, not instance fields. */
+  private final class Scratch {
+    var feats = new Array[Int](512)
+    var nFeats = 0
+    val hidden = new Array[Double](dim)
+    val probs = new Array[Double](labels.length)
+    def add(f: Int): Unit = {
+      if (nFeats == feats.length) feats = java.util.Arrays.copyOf(feats, feats.length * 2)
+      feats(nFeats) = f
+      nFeats += 1
     }
-    buf.toArray
+  }
+  @transient private lazy val scratch = ThreadLocal.withInitial[Scratch](() => new Scratch)
+
+  /** FNV-1a over the virtual padded word `<w>` window [from, from+n) where
+    * index 0 is '<', 1..len are the word chars of s[ws, we), len+1 is '>'.
+    * Equivalent to `hash(("<"+w+">").substring(from, from+n))` with zero
+    * allocation — the n-gram substrings dominated tagger GC pressure. */
+  @inline private def hashPaddedWindow(
+      s: String, ws: Int, we: Int, from: Int, n: Int): Int = {
+    val len = we - ws
+    var h = 0x811c9dc5
+    var i = from
+    val end = from + n
+    while (i < end) {
+      val c = if (i == 0) '<' else if (i == len + 1) '>' else s.charAt(ws + i - 1)
+      h ^= c
+      h *= 0x01000193
+      i += 1
+    }
+    (h & 0x7fffffff) % buckets
   }
 
-  /** Full label distribution (reference uses k=-1, language.py:164). */
-  def predictProba(text: String): Array[(String, Double)] = {
-    val feats = features(text)
-    val hidden = new Array[Double](dim)
-    if (feats.nonEmpty) {
-      feats.foreach { f =>
-        val off = f * dim
+  /** FNV-1a over s[from, to) without substring allocation. */
+  @inline private def hashRange(s: String, from: Int, to: Int): Int = {
+    var h = 0x811c9dc5
+    var i = from
+    while (i < to) {
+      h ^= s.charAt(i)
+      h *= 0x01000193
+      i += 1
+    }
+    (h & 0x7fffffff) % buckets
+  }
+
+  /** Scan the normalized text word by word (pythonSplit boundaries) and
+    * emit word + char-n-gram feature hashes into the scratch buffer.
+    * Bit-identical feature sequence to the materializing [[features]]. */
+  private def featuresInto(text: String, sc: Scratch): Unit = {
+    sc.nFeats = 0
+    val norm = normalize(text)
+    val n0 = norm.length
+    var i = 0
+    var start = -1
+    while (i <= n0) {
+      val atWs = i == n0 || TextSplit.isPyWhitespace(norm.charAt(i))
+      if (atWs) {
+        if (start >= 0) {
+          val ws = start; val we = i
+          sc.add(hashRange(norm, ws, we))
+          val paddedLen = (we - ws) + 2
+          var n = minn
+          while (n <= maxn) {
+            var j = 0
+            while (j + n <= paddedLen) {
+              sc.add(hashPaddedWindow(norm, ws, we, j, n))
+              j += 1
+            }
+            n += 1
+          }
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+  }
+
+  def features(text: String): Array[Int] = {
+    val sc = scratch.get()
+    featuresInto(text, sc)
+    java.util.Arrays.copyOf(sc.feats, sc.nFeats)
+  }
+
+  /** Softmax distribution into the thread-local probs array, aligned with
+    * [[labels]]. Returns the array (VALID UNTIL THE NEXT CALL on this
+    * thread — copy if retained). */
+  def predictProbaInto(text: String): Array[Double] = {
+    val sc = scratch.get()
+    featuresInto(text, sc)
+    val hidden = sc.hidden
+    java.util.Arrays.fill(hidden, 0.0)
+    if (sc.nFeats > 0) {
+      var k = 0
+      while (k < sc.nFeats) {
+        val off = sc.feats(k) * dim
         var d = 0
         while (d < dim) { hidden(d) += input(off + d); d += 1 }
+        k += 1
       }
       var d = 0
-      while (d < dim) { hidden(d) /= feats.length; d += 1 }
+      while (d < dim) { hidden(d) /= sc.nFeats; d += 1 }
     }
-    val logits = new Array[Double](labels.length)
+    val logits = sc.probs
     var l = 0
     while (l < labels.length) {
       val off = l * dim
@@ -76,21 +147,41 @@ final class FastTextClassifier(
       logits(l) = s
       l += 1
     }
-    val mx = logits.max
-    val exps = logits.map(x => math.exp(x - mx))
-    val z = exps.sum
-    labels.zip(exps.map(_ / z))
+    var mx = logits(0)
+    l = 1
+    while (l < labels.length) { if (logits(l) > mx) mx = logits(l); l += 1 }
+    var z = 0.0
+    l = 0
+    while (l < labels.length) { logits(l) = math.exp(logits(l) - mx); z += logits(l); l += 1 }
+    l = 0
+    while (l < labels.length) { logits(l) /= z; l += 1 }
+    logits
+  }
+
+  /** Full label distribution (reference uses k=-1, language.py:164). */
+  def predictProba(text: String): Array[(String, Double)] = {
+    val p = predictProbaInto(text)
+    Array.tabulate(labels.length)(i => (labels(i), p(i)))
   }
 
   def predict(text: String): (String, Double) = {
-    val p = predictProba(text)
-    p.maxBy(_._2)
+    val p = predictProbaInto(text)
+    var best = 0
+    var l = 1
+    while (l < labels.length) { if (p(l) > p(best)) best = l; l += 1 }
+    (labels(best), p(best))
   }
+
+  /** Index of `label` in [[labels]] (-1 if absent) — pair with
+    * [[predictProbaInto]] for allocation-free scoring. */
+  def labelIndex(label: String): Int = labels.indexOf(label)
 
   /** P(label) for one specific label (the en-only variants,
     * language.py:176-196). */
-  def scoreLabel(text: String, label: String): Double =
-    predictProba(text).collectFirst { case (l, p) if l == label => p }.getOrElse(0.0)
+  def scoreLabel(text: String, label: String): Double = {
+    val i = labelIndex(label)
+    if (i < 0) 0.0 else predictProbaInto(text)(i)
+  }
 }
 
 object FastTextClassifier {

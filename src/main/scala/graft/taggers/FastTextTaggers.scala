@@ -24,6 +24,7 @@ final class FastTextTagger(
     sentenceLevel: Boolean = false) extends Tagger {
 
   private lazy val m = model
+  private lazy val posIdx = m.labelIndex(positiveLabel)
 
   def predict(text: String, meta: Map[String, String]): Vector[Span] = {
     val docLen = CodePoints.length(text)
@@ -34,7 +35,8 @@ final class FastTextTagger(
       val spans = Vector.newBuilder[Span]
       var weighted = 0.0
       paras.foreach { p =>
-        val score = m.scoreLabel(p.text, positiveLabel)
+        // allocation-free per-paragraph scoring (thread-local probs)
+        val score = if (posIdx < 0) 0.0 else m.predictProbaInto(p.text)(posIdx)
         spans += Span(p.start, p.end, positiveLabel, score)
         weighted += (p.end - p.start) * score
       }
@@ -45,12 +47,14 @@ final class FastTextTagger(
     } else {
       // one forward pass: both the argmax and P(positive) come from the
       // same distribution
-      val probs = m.predictProba(text)
-      val (label, prob) = probs.maxBy(_._2)
-      val pPos = probs.collectFirst { case (l, p) if l == positiveLabel => p }.getOrElse(0.0)
+      val probs = m.predictProbaInto(text)
+      var best = 0
+      var l = 1
+      while (l < probs.length) { if (probs(l) > probs(best)) best = l; l += 1 }
+      val pPos = if (posIdx < 0) 0.0 else probs(posIdx)
       Vector(
         Span(0, docLen, positiveLabel, pPos),
-        Span(0, docLen, s"best_$label", prob))
+        Span(0, docLen, s"best_${m.labels(best)}", probs(best)))
     }
   }
 }
@@ -78,14 +82,14 @@ final class CodeCompositionTagger(model: => FastTextClassifier) extends Tagger {
         var label = "other"
         var entropy = 0.0
         if (line.length > 3) {
-          val probs = m.predictProba(line)
+          val probs = m.predictProbaInto(line)
           var best = 0
           var i = 1
-          while (i < probs.length) { if (probs(i)._2 > probs(best)._2) best = i; i += 1 }
-          label = probs(best)._1
+          while (i < probs.length) { if (probs(i) > probs(best)) best = i; i += 1 }
+          label = m.labels(best)
           i = 0
           while (i < probs.length) {
-            val p = probs(i)._2
+            val p = probs(i)
             if (p > 0) entropy -= p * (math.log(p) / math.log(2.0))
             i += 1
           }

@@ -43,7 +43,7 @@ object TaggerRegistry {
       PiiTaggers.registerAll()
       RepetitionTaggers.registerAll()
       TextQualityTaggers.registerAll()
-      UrlBlocklistTagger.registerAll()
+      UrlTaggers.registerAll()
       FastTextTaggers.registerAll()
     }
     def ensure(): Unit = done

@@ -4,7 +4,7 @@ import graft.mixer.PredicateCompiler
 import graft.operators.TagRunner
 import graft.runtime.Checkpoint
 import graft.sources.Jsonl
-import graft.taggers.UrlBlocklistTagger
+import graft.taggers.{AbpBlocker, AbpUrlTagger}
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -58,15 +58,15 @@ class RuntimeSpec extends AnyFunSuite {
     assert(spans("e__char_length_v1__length") == Seq((0L, 19L, 19.0)))
   }
 
-  test("url blocklist: host extraction + subdomain suffix chain") {
-    val t = new UrlBlocklistTagger("t", Set("bad.example.com", "ads.net"))
-    assert(t.isBlocked("https://bad.example.com/path?q=1"))
-    assert(t.isBlocked("http://user:pw@sub.bad.example.com:8080/x"))
-    assert(t.isBlocked("https://tracker.ads.net/pixel"))
-    assert(!t.isBlocked("https://good.example.com/"))
-    assert(!t.isBlocked("https://example.com/"))
-    assert(t.predict("some text", Map("url" -> "https://bad.example.com/")).nonEmpty)
-    assert(t.predict("some text", Map.empty).isEmpty)
+  test("url blocklist: ABP host-anchor covers the subdomain suffix chain") {
+    val t = new AbpUrlTagger("t",
+      new AbpBlocker(Seq("||bad.example.com^", "||ads.net^")))
+    assert(t.predict("x", Map("url" -> "https://bad.example.com/path?q=1")).nonEmpty)
+    assert(t.predict("x", Map("url" -> "http://sub.bad.example.com:8080/x")).nonEmpty)
+    assert(t.predict("x", Map("url" -> "https://tracker.ads.net/pixel")).nonEmpty)
+    assert(t.predict("x", Map("url" -> "https://good.example.com/")).isEmpty)
+    assert(t.predict("x", Map("url" -> "https://example.com/")).isEmpty)
+    assert(t.predict("x", Map.empty).isEmpty)
   }
 
   test("multimodal: feature extraction plumbing over binary payloads") {

@@ -1,0 +1,160 @@
+package graft
+
+import graft.taggers.{AbpBlocker, DomainBlocklistTagger, LinkBlocklistTagger, UrlRules, UrlTaggers}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** URL blocklist machinery — vectors transcribed from the reference's
+  * tests/python/test_urls.py (TestUrlBlocker + TestUrlMatcher) and its
+  * easylist fixture. */
+class UrlSpec extends AnyFunSuite {
+
+  // ---- TestUrlMatcher.test_links_tagger (test_urls.py:88-108) ----
+
+  private val linksTagger = UrlTaggers.linkTaggerFromLines("t", Seq(
+    "http://example.com/foo/bar",
+    "https://example2.com/foo"))
+
+  private def linkBlocked(url: String): Boolean =
+    linksTagger.predict("", Map("url" -> url)).nonEmpty
+
+  test("links tagger: cleaned host+path matching (test_urls.py:88-108)") {
+    assert(linkBlocked("http://example.com/foo/bar"))
+    assert(linkBlocked("https://example.com/foo/bar"))
+    assert(linkBlocked("example.com/foo/bar/"))
+    assert(!linkBlocked("http://example.com/foo/"))
+    assert(!linkBlocked("https://example.com/foo/bar/baz"))
+    assert(linkBlocked("s3://example2.com/foo"))
+    assert(!linkBlocked("https://example2.com/foo/bar"))
+  }
+
+  // ---- TestUrlMatcher.test_domains_tagger (test_urls.py:110-127) ----
+
+  private val domainsTagger = UrlTaggers.domainTaggerFromLines("t", Seq(
+    "example.com",
+    "0.0.0.0 example2.com",
+    "::1 example3.com"))
+
+  private def domainBlocked(url: String): Boolean =
+    domainsTagger.predict("", Map("url" -> url)).nonEmpty
+
+  test("domains tagger: hosts-format parsing + www twin (test_urls.py:110-127)") {
+    assert(domainBlocked("http://example.com"))
+    assert(domainBlocked("EXAMPLE.COM"))
+    assert(domainBlocked("https://example2.com"))
+    assert(domainBlocked("example3.com"))
+    assert(!domainBlocked("http://example4.com"))
+    assert(domainBlocked("http://example.com/foo"))
+    // www variants both ways
+    assert(domainBlocked("http://www.example.com/foo"))
+  }
+
+  test("hosts-format line parsing: localhost IPs suppressed, IPs validated") {
+    // 0.0.0.0 / ::1 are never yielded as blockable hosts themselves
+    assert(!UrlRules.parseLine("0.0.0.0 example2.com", domainMode = false)
+      .contains("0.0.0.0"))
+    assert(!UrlRules.parseLine("::1 example3.com", domainMode = false)
+      .contains("::1"))
+    // a NON-localhost IP is yielded alongside the domain
+    assert(UrlRules.parseLine("1.2.3.4 ads.example.com", domainMode = false)
+      == Seq("1.2.3.4", "ads.example.com"))
+    // invalid IP → reference raises UrlNotParsedError → line dropped
+    assert(UrlRules.parseLine("999.0.0.1 ads.example.com", domainMode = false).isEmpty)
+    // comments in all three reference styles
+    assert(UrlRules.parseLine("# c", domainMode = false).isEmpty)
+    assert(UrlRules.parseLine("; c", domainMode = false).isEmpty)
+    assert(UrlRules.parseLine("! c", domainMode = false).isEmpty)
+    // ADP-format line yields the bare domain
+    assert(UrlRules.parseLine("||berush.com^", domainMode = true) == Seq("berush.com"))
+    // localhost/localdomain URLs are skipped
+    assert(UrlRules.parseLine("127.0.0.1 localhost", domainMode = false).isEmpty)
+  }
+
+  test("Python lstrip-www quirk mirrored (url.py:146 `lstrip(\"www.\")`)") {
+    assert(UrlRules.lstripWwwChars("www.example.com") == "example.com")
+    // the quirk: 'web.com' loses its leading 'w'
+    assert(UrlRules.lstripWwwChars("web.com") == "eb.com")
+    // self-consistent: blocklist 'web.com' and doc 'web.com' still match
+    val t = UrlTaggers.domainTaggerFromLines("t", Seq("web.com"))
+    assert(t.predict("", Map("url" -> "http://web.com")).nonEmpty)
+  }
+
+  test("ipv4/ipv6 validation (inet_pton semantics)") {
+    assert(UrlRules.isIpv4("0.0.0.0") && UrlRules.isIpv4("255.255.255.255"))
+    assert(!UrlRules.isIpv4("256.1.1.1") && !UrlRules.isIpv4("1.2.3") &&
+      !UrlRules.isIpv4("01.2.3.4"))
+    assert(UrlRules.isIpv6("::1") && UrlRules.isIpv6("fe80::1") &&
+      UrlRules.isIpv6("2001:db8:0:0:0:0:2:1") && UrlRules.isIpv6("::ffff:1.2.3.4"))
+    assert(!UrlRules.isIpv6("fe80::1::2") && !UrlRules.isIpv6("12345::") &&
+      !UrlRules.isIpv6("1.2.3.4"))
+  }
+
+  // ---- TestUrlBlocker.test_brave_adblocker (test_urls.py:14-33) ----
+
+  test("ABP engine: brave substring rules (test_urls.py:14-33)") {
+    val engine = new AbpBlocker(Seq(
+      "-advertisement-icon.",
+      "-advertisement-management/",
+      "-advertisement.",
+      "-advertisement/script."))
+    val toBlock = "http://example.com/-advertisement-icon."
+    assert(engine.checkNetworkUrls(toBlock, "image"))
+    assert(engine.checkNetworkUrls(toBlock))
+    assert(!engine.checkNetworkUrls(toBlock, "document"))
+    val notToBlock = "http://example.com/main-icon"
+    assert(!engine.checkNetworkUrls(notToBlock, "image"))
+    assert(!engine.checkNetworkUrls(notToBlock))
+  }
+
+  // ---- TestUrlBlocker.test_load_from_file (test_urls.py:35-44), against
+  // the reference's own frozen easylist fixture ----
+
+  test("ABP engine: full easylist fixture (test_urls.py:35-44)") {
+    val src = scala.io.Source.fromInputStream(
+      new java.util.zip.GZIPInputStream(new java.io.FileInputStream(
+        "/root/reference/tests/data/urls/easylist.txt.gz")))("ISO-8859-1")
+    val rules = try src.getLines().filterNot(_.startsWith("!")).toVector
+      finally src.close()
+    val engine = new AbpBlocker(rules)
+    // global rules
+    assert(engine.checkNetworkUrls("berush.com"))
+    assert(!engine.checkNetworkUrls("example.com"))
+    // image rules ($image,script)
+    assert(engine.checkNetworkUrls("pjatr.com", "image"))
+    assert(!engine.checkNetworkUrls("pjatr.com", "document"))
+  }
+
+  test("ABP grammar: anchors, separators, wildcards, exceptions") {
+    val engine = new AbpBlocker(Seq(
+      "||ads.example.com^",
+      "|http://exact.example.com/banner|",
+      "/promo/*/track^",
+      "@@||ads.example.com^$image"))
+    // host anchor hits host and subdomains, not suffix-in-the-middle
+    assert(engine.checkNetworkUrls("http://ads.example.com/x"))
+    assert(engine.checkNetworkUrls("http://sub.ads.example.com/x"))
+    assert(!engine.checkNetworkUrls("http://notads.example.com/x"))
+    // start+end anchors
+    assert(engine.checkNetworkUrls("http://exact.example.com/banner"))
+    assert(!engine.checkNetworkUrls("http://exact.example.com/banner2"))
+    // wildcard + separator
+    assert(engine.checkNetworkUrls("http://x.com/promo/a/b/track?x=1"))
+    assert(engine.checkNetworkUrls("http://x.com/promo/a/track"))
+    assert(!engine.checkNetworkUrls("http://x.com/promo-track"))
+    // exception overrides for its type only
+    assert(!engine.checkNetworkUrls("http://ads.example.com/x", "image"))
+    assert(engine.checkNetworkUrls("http://ads.example.com/x", "script"))
+  }
+
+  test("registered named taggers resolve and match") {
+    val reg = graft.taggers.TaggerRegistry
+    assert(reg.resolve("blocklist_project_ads_v1")
+      .predict("x", Map("url" -> "https://ads.example.net/pixel.gif")).nonEmpty)
+    assert(reg.resolve("link_blocklist_phishing_v1")
+      .predict("x", Map("url" -> "http://phish.example.com/login")).nonEmpty)
+    assert(reg.resolve("oisd_small_abp_v1")
+      .predict("x", Map("url" -> "https://sub.ads.example.net/a")).nonEmpty)
+    assert(reg.resolve("oisd_small_abp_v1")
+      .predict("x", Map("url" -> "https://clean.example.org/")).isEmpty)
+  }
+}
