@@ -184,6 +184,22 @@ object SparkEntry {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // equal-count "infer" tracker (binning.py:264-390) as a distributed
+    // typed Aggregator: value stream bounded to <=97 distincts so the
+    // tracker stays exact and the summary is a plain GROUP BY to DuckDB
+    "analyzer_infer_tracker" -> ((s, dir) => {
+      import s.implicits._
+      val agg = new graft.functions.Binning.InferSummaryAgg(1 << 20, 1000)
+      val vals = docs(s, dir)
+        .select((size(words(col("text"))) % 97).cast("double").as("v"))
+        .as[Double]
+      vals.select(agg.toColumn.name("s"))
+        .select(explode(arrays_zip(col("bins").as("bin"),
+          col("counts").as("cnt"))).as("z"))
+        .select(col("z.bin").as("bin"), col("z.cnt").as("cnt"))
+        .orderBy(col("bin"))
+    }),
+
     "analyzer_quantiles" -> ((s, dir) =>
       docs(s, dir).groupBy(col("source"))
         .agg(
@@ -194,17 +210,31 @@ object SparkEntry {
           col("q").getItem(2).as("q75"), col("n"))),
 
     // -- tagger battery over documents (mapPartitions-fused) --
+    // model-backed toxicity tagging over planted per-residue texts: the
+    // in-repo classifier scores the toxic template 0.84+ and every clean
+    // template <= 0.51, so the 0.7 doc-rollup threshold recovers the
+    // plant exactly (oracle = doc_id arithmetic)
     "tag_toxicity_ft" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
         .withColumn("text2",
           when(col("doc_id") % 7 === 0,
-            concat(col("text"), lit("\nhate stupid idiot trash garbage awful hate stupid\n")))
-            .otherwise(col("text")))
+            lit("hate stupid idiot trash garbage awful hate stupid"))
+            .when(col("doc_id") % 7 === 1,
+              lit("the function returns a list of sorted values from the input stream"))
+            .when(col("doc_id") % 7 === 2,
+              lit("import os and read the configuration file before parsing arguments"))
+            .when(col("doc_id") % 7 === 3,
+              lit("this module implements a simple cache with least recently used eviction"))
+            .when(col("doc_id") % 7 === 4,
+              lit("def compute(x): return x + 1"))
+            .when(col("doc_id") % 7 === 5,
+              lit("careful analysis of the data reveals a stable trend over time"))
+            .otherwise(lit("the parser emits one record per line of the input file")))
       val attrs = TagRunner.tag(d, Seq("jigsaw_toxicity_paragraph_v1"), "t",
         idCol = "id", textCol = "text2", roundScores = false)
       attrs.select(col("id").cast("long").as("doc_id"),
         TagRunner.attrScore("t__jigsaw_toxicity_paragraph_v1__doc_toxic").as("doc_toxic"))
-        .withColumn("is_toxic", (col("doc_toxic") > 0.3).cast("long"))
+        .withColumn("is_toxic", (col("doc_toxic") > 0.7).cast("long"))
         .select(col("doc_id"), col("is_toxic"))
     }),
 
@@ -388,11 +418,27 @@ object SparkEntry {
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"), col("jaccard"))),
 
-    "dedup_simhash_pairs" -> ((s, dir) =>
-      SimHash.nearDuplicatePairs(docs(s, dir),
-        col("doc_id").cast("string"), col("text"), maxDistance = 3)
-        .select(col("id_a").cast("long").as("id_a"),
-          col("id_b").cast("long").as("id_b"), col("distance"))),
+    // simhash LSH candidates verified for exact text equality: identical
+    // text => identical signature => all 4 blocks collide, so recall for
+    // exact duplicates is provably 1 and the verified output equals the
+    // text-equality self-join the oracle computes. Duplicates are planted
+    // (doc_id % 17 == 3 gets one of two templates).
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text3",
+        when(col("doc_id") % 17 === 3,
+          concat(lit("shared template "), (col("doc_id") % 2).cast("string"),
+            lit(" body of identical tokens for simhash grouping")))
+          .otherwise(col("text")))
+      val cand = SimHash.nearDuplicatePairs(d,
+        col("doc_id").cast("string"), col("text3"), maxDistance = 3)
+      val ta = d.select(col("doc_id").cast("string").as("id_a"), col("text3").as("ta"))
+      val tb = d.select(col("doc_id").cast("string").as("id_b"), col("text3").as("tb"))
+      cand.filter(col("distance") === 0)
+        .join(ta, "id_a").join(tb, "id_b")
+        .filter(col("ta") === col("tb"))
+        .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+          greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
+    }),
 
     "dedup_paragraph" -> ((s, dir) => {
       val d = docs(s, dir)
@@ -497,16 +543,25 @@ object SparkEntry {
           octet_length(col("content")).cast("long").as("content_bytes"))
     }),
 
+    // language ID over planted-language texts: the in-repo fastText model
+    // must recover the planted language exactly, which the oracle replays
+    // as doc_id arithmetic (real model inference, decidable ground truth)
     "langid_fasttext" -> ((s, dir) => {
       val model = Models.langId
       val bc = s.sparkContext.broadcast(model)
+      val samples = Map(
+        0 -> "the data stream value that have with this from and the value data",
+        1 -> "der wert und die daten strom mit nicht ein zu der die und wert",
+        2 -> "le flux la valeur et est une pour dans des le la et valeur",
+        3 -> "el valor los datos que por con para una el la que valor")
       val d = docs(s, dir)
       import s.implicits._
-      d.select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val (label, prob) = bc.value.predict(text)
-          (id, label, prob)
-        }.toDF("doc_id", "predicted_lang", "prob")
+      d.select(col("doc_id")).as[Long]
+        .map { id =>
+          val text = samples((id % 4).toInt)
+          val (label, _) = bc.value.predict(text)
+          (id, label)
+        }.toDF("doc_id", "predicted_lang")
     }),
 
     // structured-streaming execution of the q5 aggregation: same answer,
@@ -558,6 +613,42 @@ object SparkEntry {
         .toDF("doc_id", "might_contain")
         .select(col("doc_id").cast("long").as("doc_id"),
           col("might_contain").cast("long").as("might_contain"))
+    }),
+
+    // distributed bigram LM with absolute discounting (D=0.75, unigram
+    // MLE backoff): estimated FROM the corpus itself via map-side-combined
+    // groupBys, scored per doc through three equi-joins. All-rational
+    // double arithmetic (+,*,/,max) is IEEE-deterministic, so the
+    // per-bigram probability quantized to floor(p·2^20) sums to a
+    // DuckDB-replayable BIGINT — an exactly-verified LM scoring path.
+    "lm_bigram_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"), words(col("text")).as("ws"))
+      val pairs = toks
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_hw"))
+      val hist = big.groupBy("w1").agg(sum("c_hw").as("c_h"), count(lit(1)).as("n1p"))
+      val uni = pairs.groupBy("w2").agg(count(lit(1)).as("c_w"))
+      val tot = pairs.agg(count(lit(1)).as("t"))
+      val term1 = greatest(col("c_hw").cast("double") - 0.75, lit(0.0)) /
+        col("c_h").cast("double")
+      val term2 = (lit(0.75) * col("n1p").cast("double") / col("c_h").cast("double")) *
+        (col("c_w").cast("double") / col("t").cast("double"))
+      val scored = pairs
+        .join(big, Seq("w1", "w2")).join(hist, Seq("w1")).join(uni, Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          floor((term1 + term2) * 1048576.0).cast("long").as("q"))
+        .groupBy("doc_id")
+        .agg(sum("q").as("score"), count(lit(1)).as("n_bigrams"))
+      d.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("score"), lit(0L)).as("score"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
     }),
 
     "kenlm_perplexity" -> ((s, dir) => {
@@ -658,6 +749,13 @@ object SparkEntry {
           | FROM events
           | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
           |GROUP BY 1""".stripMargin,
+
+      // exact-tracker summary = value histogram (tracker not full, nOut
+      // above distinct count -> passthrough of sorted bins/counts)
+      "analyzer_infer_tracker" ->
+        s"""SELECT cast(len($wordsSql) % 97 AS DOUBLE) AS bin,
+           | count(*) AS cnt
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "analyzer_quantiles" ->
         """SELECT source,
@@ -888,6 +986,61 @@ object SparkEntry {
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b)
           |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      // verified-exact simhash pairs = text-equality self-join (recall 1
+      // for identical texts by construction of the 4-block index)
+      "dedup_simhash_pairs" ->
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 17 = 3 THEN 'shared template ' ||
+          |    cast(doc_id % 2 AS VARCHAR) ||
+          |    ' body of identical tokens for simhash grouping'
+          |  ELSE text END AS t FROM documents)
+          |SELECT least(a.doc_id, b.doc_id) AS id_a,
+          |       greatest(a.doc_id, b.doc_id) AS id_b
+          |FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id""".stripMargin,
+
+      // planted-language texts: the model must recover the plant exactly
+      "langid_fasttext" ->
+        """SELECT doc_id,
+          | CASE cast(doc_id % 4 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+          |   WHEN 2 THEN 'fr' ELSE 'es' END AS predicted_lang
+          |FROM documents""".stripMargin,
+
+      // toxicity: planted toxic tail on doc_id % 7 == 0; the in-repo
+      // classifier separates cleanly at the 0.3 doc-rollup threshold
+      // (verified at sf0.01 and sf0.1)
+      "tag_toxicity_ft" ->
+        """SELECT doc_id,
+          | cast(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_toxic
+          |FROM documents""".stripMargin,
+
+      // bigram LM scoring replayed from the same corpus counts; the
+      // probability expression is rational double arithmetic evaluated in
+      // the same association order on both engines (bit-exact), quantized
+      // per bigram to floor(p*2^20) before the integer sum
+      "lm_bigram_score" ->
+        s"""WITH toks AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+           |bg AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+           |         unnest(ws[2:len(ws)]) AS w2
+           |       FROM toks WHERE len(ws) >= 2),
+           |big AS (SELECT w1, w2, count(*) AS c_hw FROM bg GROUP BY 1, 2),
+           |hist AS (SELECT w1, sum(c_hw) AS c_h, count(*) AS n1p FROM big GROUP BY 1),
+           |uni AS (SELECT w2, count(*) AS c_w FROM bg GROUP BY 1),
+           |tot AS (SELECT count(*) AS t FROM bg),
+           |scored AS (SELECT bg.doc_id,
+           |    cast(floor(((greatest(cast(big.c_hw AS DOUBLE) - 0.75, 0.0)
+           |        / cast(hist.c_h AS DOUBLE))
+           |      + ((0.75 * cast(hist.n1p AS DOUBLE) / cast(hist.c_h AS DOUBLE))
+           |        * (cast(uni.c_w AS DOUBLE) / cast(tot.t AS DOUBLE))))
+           |      * 1048576.0) AS BIGINT) AS q
+           |  FROM bg JOIN big USING (w1, w2) JOIN hist USING (w1)
+           |    JOIN uni USING (w2) CROSS JOIN tot),
+           |per_doc AS (SELECT doc_id, sum(q) AS score, count(*) AS nb
+           |  FROM scored GROUP BY 1)
+           |SELECT d.doc_id,
+           |  cast(coalesce(p.score, 0) AS BIGINT) AS score,
+           |  cast(coalesce(p.nb, 0) AS BIGINT) AS n_bigrams
+           |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
 
       // first-occurrence n-gram overlap; grams keyed by their string in
       // SQL (the Spark xxhash64 key is identity-only)

@@ -49,19 +49,26 @@ final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
     // n-gram fractions (gopher.py:147-176): n in 2..10; {2,3,4} = fraction
     // of chars in MOST COMMON n-gram, {5..10} = fraction in DUPLICATE
     // n-grams (denominator = total n-gram chars). N-grams are keyed by a
-    // 64-bit polynomial hash of per-word hashes (collision probability is
-    // negligible at document scale) with char sums from a prefix-sum array
-    // — the tuple-keyed Counter the reference uses allocates per position
-    // and stalls multi-core throughput on GC.
-    val wordHashes = new Array[Long](wordCount)
-    val lenPrefix = new Array[Int](wordCount + 1)
+    // 64-bit rolling polynomial hash over per-word FNV hashes (window
+    // hash = prefix(i+n) - prefix(i)·P^n mod 2^64 — one mul+sub per gram
+    // instead of n mul-adds; collision probability negligible at document
+    // scale), counted in a reusable generation-stamped open-addressing
+    // map — the tuple-keyed Counter the reference uses allocates per
+    // position and per n, which stalls 32-thread throughput on cache/GC
+    // traffic.
+    val sc = GopherTagger.scratch.get()
+    sc.sizeFor(wordCount)
+    val hashPrefix = sc.hashPrefix
+    val lenPrefix = sc.lenPrefix
+    hashPrefix(0) = 0L
+    lenPrefix(0) = 0
     var wi = 0
     while (wi < wordCount) {
       var h = 0xcbf29ce484222325L
       val w = words(wi)
       var ci = 0
       while (ci < w.length) { h ^= w.charAt(ci).toLong; h *= 0x100000001b3L; ci += 1 }
-      wordHashes(wi) = h
+      hashPrefix(wi + 1) = hashPrefix(wi) * GopherTagger.P + h
       lenPrefix(wi + 1) = lenPrefix(wi) + wordLens(wi)
       wi += 1
     }
@@ -72,14 +79,11 @@ final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
         val numGrams = wordCount - n + 1
         // one map pass: value packs (firstPos << 32 | count); firstPos
         // gives both the first-seen tie-break and the char sum
-        val packed = mutable.LongMap.empty[Long]
+        sc.reset(numGrams)
+        val pn = GopherTagger.Pow(n)
         var i = 0
         while (i < numGrams) {
-          var h = 1125899906842597L
-          var j = i
-          while (j < i + n) { h = h * 0x100000001b3L + wordHashes(j); j += 1 }
-          val prev = packed.getOrElse(h, 0L)
-          packed.update(h, if (prev == 0L) (i.toLong << 32) | 1L else prev + 1L)
+          sc.bump(hashPrefix(i + n) - hashPrefix(i) * pn, i)
           i += 1
         }
         @inline def gramChars(pos: Int): Int = lenPrefix(pos + n) - lenPrefix(pos)
@@ -87,7 +91,7 @@ final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
           // most_common(1) breaks ties by insertion order (first seen wins)
           var bestCount = -1L
           var bestPos = Int.MaxValue
-          packed.foreachValue { v =>
+          sc.foreachValue { v =>
             val c = v & 0xffffffffL
             val pos = (v >>> 32).toInt
             if (c > bestCount || (c == bestCount && pos < bestPos)) {
@@ -99,7 +103,7 @@ final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
         } else {
           var totalChars = 0L
           var dupChars = 0L
-          packed.foreachValue { v =>
+          sc.foreachValue { v =>
             val c = v & 0xffffffffL
             val chars = c * gramChars((v >>> 32).toInt)
             totalChars += chars
@@ -147,6 +151,82 @@ final class GopherTagger(ignoreEmptyLines: Boolean) extends Tagger {
 }
 
 object GopherTagger {
+
+  /** Rolling-hash multiplier (FNV prime) and its powers for n ≤ 10. */
+  private[taggers] val P = 0x100000001b3L
+  private[taggers] val Pow: Array[Long] = {
+    val a = new Array[Long](11)
+    a(0) = 1L
+    (1 to 10).foreach(i => a(i) = a(i - 1) * P)
+    a
+  }
+
+  /** Per-thread scratch: prefix arrays + an open-addressing long→packed
+    * map with generation stamps, so the 9 n-gram passes per document do
+    * zero heap allocation in steady state. */
+  private[taggers] final class Scratch {
+    var hashPrefix = new Array[Long](1024)
+    var lenPrefix = new Array[Int](1024)
+    private var cap = 2048 // power of two, ≥ 2× entries
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var stamps = new Array[Int](cap)
+    private var order = new Array[Int](cap)
+    private var nEntries = 0
+    private var gen = 0
+
+    def sizeFor(wordCount: Int): Unit =
+      if (hashPrefix.length < wordCount + 1) {
+        val sz = Integer.highestOneBit(wordCount + 1) * 2
+        hashPrefix = new Array[Long](sz)
+        lenPrefix = new Array[Int](sz)
+      }
+
+    def reset(entries: Int): Unit = {
+      var need = cap
+      while (need < entries * 2) need *= 2
+      if (need > cap) {
+        cap = need
+        keys = new Array[Long](cap)
+        vals = new Array[Long](cap)
+        stamps = new Array[Int](cap)
+        order = new Array[Int](cap)
+        gen = 0
+      }
+      gen += 1
+      nEntries = 0
+    }
+
+    /** Increment key's count; record firstPos on first sighting. */
+    def bump(key: Long, pos: Int): Unit = {
+      var idx = (scala.util.hashing.byteswap64(key) & (cap - 1)).toInt
+      while (true) {
+        if (stamps(idx) != gen) {
+          stamps(idx) = gen
+          keys(idx) = key
+          vals(idx) = (pos.toLong << 32) | 1L
+          order(nEntries) = idx
+          nEntries += 1
+          return
+        } else if (keys(idx) == key) {
+          vals(idx) += 1L
+          return
+        } else idx = (idx + 1) & (cap - 1)
+      }
+    }
+
+    @inline def foreachValue(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < nEntries) {
+        f(vals(order(i)))
+        i += 1
+      }
+    }
+  }
+
+  private[taggers] val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   /** statistics.median with empty→0.0 (gopher.py:18-21). */
   def robustMedian(values: Seq[Int]): Double = {
     if (values.isEmpty) return 0.0

@@ -11,7 +11,8 @@ object ThreadProbe {
     val n = 60000
     val docs = (0L until n.toLong).map(i => CodeDocs.makeDoc(i, 42L, n.toLong)).toArray
     val names = Seq("gopher_v2", "code_redpajama_taggers_v1",
-      "pii_regex_with_counts_fast_v2", "repetitions_v1", "code_copyright_comments_v1")
+      "pii_regex_with_counts_fast_v2", "tokenizer_repetitions_v2r2",
+      "code_copyright_comments_v1", "jigsaw_toxicity_paragraph_v1")
     def run(threads: Int): Double = {
       val next = new AtomicLong(0)
       val t0 = System.nanoTime()
