@@ -615,6 +615,18 @@ object SparkEntry {
           col("might_contain").cast("long").as("might_contain"))
     }),
 
+    // token sink end-to-end: tokenize -> binary shard write -> metadata
+    // table; each doc's token range length is its word count + eos
+    "tokens_sink" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-tokens-q").toString
+      val d = docs(s, dir).withColumn("toks",
+        graft.sources.TokenSink.tokenIds(col("text")))
+      graft.sources.TokenSink
+        .writeShards(d, col("doc_id"), col("toks"), out, numShards = 8)
+        .select(col("id").cast("long").as("doc_id"),
+          (col("end") - col("start")).as("n_tokens"))
+    }),
+
     // distributed bigram LM with absolute discounting (D=0.75, unigram
     // MLE backoff): estimated FROM the corpus itself via map-side-combined
     // groupBys, scored per doc through three equi-joins. All-rational
@@ -1013,6 +1025,10 @@ object SparkEntry {
         """SELECT doc_id,
           | cast(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_toxic
           |FROM documents""".stripMargin,
+
+      "tokens_sink" ->
+        s"""SELECT doc_id, cast(len($wordsSql) + 1 AS BIGINT) AS n_tokens
+           |FROM documents""".stripMargin,
 
       // bigram LM scoring replayed from the same corpus counts; the
       // probability expression is rational double arithmetic evaluated in

@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Token-array sink — the Spark-native re-expression of `dolma tokens`
+  * (/root/reference/python/dolma/tokenizer/executor.py:31-249,
+  * memmap_writer.py:19-215): tokenize documents to bounded integer ids,
+  * pack them into fixed-size little-endian binary shards (the memmap
+  * layout trainers consume), and emit a metadata table mapping every
+  * document to its (shard, start, end) token range.
+  *
+  * Differences from the reference, by design:
+  *  - the HF BPE tokenizer is replaced by a deterministic hashed-vocab
+  *    word tokenizer built from Catalyst expressions (no UDF, fully
+  *    codegen'd) — the packing/sharding machinery is the deliverable, the
+  *    vocabulary is pluggable;
+  *  - the process-pool ring of memmap writers becomes one shard per Spark
+  *    task: `repartition` sizes the shards, `mapPartitions` streams each
+  *    partition's ids to its own file, and the per-doc offsets come back
+  *    as an ordinary DataFrame (queryable, joinable — the reference's
+  *    .csv.gz sidecars made relational);
+  *  - the reference's `local_shuffle` buffer is `repartition` by id hash:
+  *    pseudo-random document placement with cluster parallelism instead
+  *    of a single-process shuffle window.
+  */
+object TokenSink {
+
+  /** Reserved ids (0=pad, 1=bos, 2=eos, 3=unk; vocabulary starts at 4). */
+  val PadId = 0
+  val BosId = 1
+  val EosId = 2
+  val FirstVocabId = 4
+
+  /** Deterministic hashed-vocabulary token ids of a text column with an
+    * EOS separator appended (the reference requires bos or eos so
+    * documents stay separable, executor.py:71-76). Pure Catalyst. */
+  def tokenIds(textCol: Column, vocabSize: Int = 1 << 16, appendEos: Boolean = true): Column = {
+    val ws = filter(split(textCol, "\\s+"), w => w =!= "")
+    val ids = transform(ws, w =>
+      (pmod(xxhash64(w), lit(vocabSize - FirstVocabId)) + FirstVocabId).cast("int"))
+    if (appendEos) concat(ids, array(lit(EosId))) else ids
+  }
+
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("shard", StringType, nullable = false),
+    StructField("start", LongType, nullable = false),
+    StructField("end", LongType, nullable = false)))
+
+  /** Write `(idCol, tokensCol)` rows as binary token shards under `dir`
+    * and return the per-document metadata table. Each Spark task writes
+    * exactly one `shard-NNNNN.bin` (uint16 little-endian when
+    * `bytesPerToken` = 2, uint32 when 4 — memmap_writer.py:22-44); the
+    * caller controls shard sizing through `numShards` (0 = derive from a
+    * token-count pass targeting `targetTokensPerShard`).
+    *
+    * Scale shape: one repartition by id hash (the local_shuffle
+    * equivalent), then a narrow streaming write — no driver involvement,
+    * no global sort. Shards are written to task-unique names so retries
+    * can't collide; the metadata row is emitted only after the shard's
+    * stream is closed, so a committed metadata table references only
+    * complete shards. */
+  def writeShards(
+      df: DataFrame,
+      idCol: Column,
+      tokensCol: Column,
+      dir: String,
+      bytesPerToken: Int = 2,
+      numShards: Int = 0,
+      targetTokensPerShard: Long = 512L * 1024 * 1024): DataFrame = {
+    require(bytesPerToken == 2 || bytesPerToken == 4, "uint16 or uint32")
+    val spark = df.sparkSession
+    val prepared = df.select(idCol.cast("string").as("id"), tokensCol.as("toks"))
+    val shards =
+      if (numShards > 0) numShards
+      else {
+        val total = prepared.agg(sum(size(col("toks")))).head().getLong(0)
+        math.max(1, math.ceil(total.toDouble / targetTokensPerShard).toInt)
+      }
+    val bpt = bytesPerToken
+    val out = prepared
+      .repartition(shards, xxhash64(col("id")))
+      .mapPartitions { rows =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+          val name = f"shard-$pid%05d-$attempt.bin"
+          val path = new org.apache.hadoop.fs.Path(dir, name)
+          // executors don't carry the driver's session; default Hadoop
+          // config resolves standard file:///hdfs:// URIs on cluster nodes
+          val conf = org.apache.spark.sql.SparkSession.getActiveSession
+            .map(_.sparkContext.hadoopConfiguration)
+            .getOrElse(new org.apache.hadoop.conf.Configuration())
+          val fs = path.getFileSystem(conf)
+          val stream = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16)
+          val meta = Vector.newBuilder[(String, String, Long, Long)]
+          var written = 0L
+          try {
+            rows.foreach { row =>
+              val id = row.getString(0)
+              val toks = row.getSeq[Int](1)
+              val start = written
+              toks.foreach { t =>
+                stream.write(t & 0xff)
+                stream.write((t >> 8) & 0xff)
+                if (bpt == 4) { stream.write((t >> 16) & 0xff); stream.write((t >> 24) & 0xff) }
+              }
+              written += toks.length
+              meta += ((id, name, start, written))
+            }
+          } finally stream.close()
+          meta.result().iterator.map { case (id, s, a, b) => Row(id, s, a, b) }
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(metadataSchema))
+    out
+  }
+
+  /** Read one shard back as token ids (test/audit path). */
+  def readShard(spark: org.apache.spark.sql.SparkSession, dir: String,
+      shard: String, bytesPerToken: Int = 2): Array[Int] = {
+    val path = new org.apache.hadoop.fs.Path(dir, shard)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val len = fs.getFileStatus(path).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = fs.open(path)
+    try in.readFully(0, bytes) finally in.close()
+    val n = len / bytesPerToken
+    Array.tabulate(n) { i =>
+      val o = i * bytesPerToken
+      if (bytesPerToken == 2) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    }
+  }
+}

@@ -155,6 +155,21 @@ object FastTextTaggers {
     FastTextClassifier.train(ex, dim = 12, epochs = 8, seed = 29L)
   }
 
+  /** Tiny NSFW stand-in model (same engine as toxicity, distinct
+    * vocabulary — jigsaw.py:39-45's nsfw weights are not
+    * redistributable). */
+  lazy val nsfw: FastTextClassifier = {
+    val rng = new scala.util.Random(31L)
+    val nsfwWords = Vector("explicit", "adult", "nude", "xxx", "porn", "lewd",
+      "racy", "obscene")
+    val cleanWords = Vector("data", "value", "stream", "report", "garden",
+      "music", "travel", "recipe", "science", "school")
+    val ex = (for (_ <- 1 to 60) yield Seq(
+      "nsfw" -> (1 to 8).map(_ => nsfwWords(rng.nextInt(nsfwWords.length))).mkString(" "),
+      "clean" -> (1 to 8).map(_ => cleanWords(rng.nextInt(cleanWords.length))).mkString(" "))).flatten
+    FastTextClassifier.train(ex, dim = 12, epochs = 6, seed = 31L)
+  }
+
   /** Tiny quality model: "wiki-like" prose vs keyboard-mash noise. */
   lazy val quality: FastTextClassifier = {
     val rng = new scala.util.Random(17L)
@@ -189,6 +204,21 @@ object FastTextTaggers {
     TaggerRegistry.register("ft_quality_document_v1")(
       new FastTextTagger("ft_quality_document_v1", quality, "hq",
         paragraphLevel = false))
+    // registry-name parity with jigsaw.py:16-45 (hatespeech/nsfw doc +
+    // sentence variants; same engine, in-repo nsfw stand-in vocabulary;
+    // "sencence" typo is the reference's registered name)
+    TaggerRegistry.register("jigsaw_hatespeech_document_v2")(
+      new FastTextTagger("jigsaw_hatespeech_document_v2", toxicity, "toxic",
+        paragraphLevel = false))
+    TaggerRegistry.register("jigsaw_hatespeech_sentence_v2")(
+      new FastTextTagger("jigsaw_hatespeech_sentence_v2", toxicity, "toxic",
+        paragraphLevel = false, sentenceLevel = true))
+    TaggerRegistry.register("jigsaw_nsfw_document_v1")(
+      new FastTextTagger("jigsaw_nsfw_document_v1", nsfw, "nsfw",
+        paragraphLevel = false))
+    TaggerRegistry.register("jigsaw_nsfw_sencence_v2")(
+      new FastTextTagger("jigsaw_nsfw_sencence_v2", nsfw, "nsfw",
+        paragraphLevel = false, sentenceLevel = true))
     TaggerRegistry.register("code_composition")(
       new CodeCompositionTagger(codeProse))
   }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.sources.TokenSink
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Token-array sink (the `dolma tokens` surface re-expressed). */
+class TokenSinkSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token ids: hashed vocab, bounded range, eos separator") {
+    val df = Seq("alpha beta gamma", "alpha", "").toDF("text")
+      .select(TokenSink.tokenIds(col("text"), vocabSize = 1000).as("toks"))
+    val rows = df.as[Seq[Int]].collect()
+    assert(rows(0).length == 4 && rows(0).last == TokenSink.EosId)
+    assert(rows(1).length == 2)
+    assert(rows(2) == Seq(TokenSink.EosId)) // empty doc = just the separator
+    assert(rows.flatten.forall(t => t == TokenSink.EosId ||
+      (t >= TokenSink.FirstVocabId && t < 1000)))
+    // determinism: same word, same id across docs
+    assert(rows(0).head == rows(1).head)
+  }
+
+  test("shard write + metadata + binary roundtrip (uint16)") {
+    val dir = Files.createTempDirectory("graft-tokens").toString
+    val docs = (0 until 120).map(i => (s"doc$i", s"w${i % 7} w${i % 11} w${i % 13}"))
+      .toDF("id", "text")
+      .withColumn("toks", TokenSink.tokenIds(col("text"), vocabSize = 5000))
+    val meta = TokenSink.writeShards(docs, col("id"), col("toks"), dir, numShards = 4)
+    val collected = meta.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(collected.length == 120)
+    // every doc's range length = its token count (3 words + eos)
+    assert(collected.forall { case (_, _, s, e) => e - s == 4 })
+    // offsets within each shard are dense and start at 0
+    collected.groupBy(_._2).foreach { case (shard, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3)
+        case _ =>
+      }
+      // binary roundtrip: shard bytes decode to each doc's ids
+      val ids = TokenSink.readShard(spark, dir, shard)
+      assert(ids.length == sorted.last._4)
+      sorted.foreach { case (id, _, s, e) =>
+        val doc = docs.filter(col("id") === id)
+          .select(col("toks")).as[Seq[Int]].head()
+        assert(ids.slice(s.toInt, e.toInt).toSeq == doc)
+      }
+    }
+    // uint32 variant roundtrips too
+    val dir2 = Files.createTempDirectory("graft-tokens4").toString
+    val meta2 = TokenSink.writeShards(docs, col("id"), col("toks"), dir2,
+      bytesPerToken = 4, numShards = 2)
+    val m2 = meta2.collect()
+    assert(m2.length == 120)
+    val shard2 = m2.head.getString(1)
+    assert(TokenSink.readShard(spark, dir2, shard2, bytesPerToken = 4).nonEmpty)
+  }
+
+  test("shard sizing derives from total token count when numShards = 0") {
+    val dir = Files.createTempDirectory("graft-tokens-sz").toString
+    val docs = (0 until 64).map(i => (s"d$i", "a b c d e f g")).toDF("id", "text")
+      .withColumn("toks", TokenSink.tokenIds(col("text")))
+    // 64 docs x 8 tokens = 512 tokens; 128-token target => 4 shards
+    val meta = TokenSink.writeShards(docs, col("id"), col("toks"), dir,
+      targetTokensPerShard = 128L)
+    assert(meta.select(col("shard")).distinct().count() == 4)
+  }
+}
