@@ -615,6 +615,46 @@ object SparkEntry {
           col("might_contain").cast("long").as("might_contain"))
     }),
 
+    // WARC ingestion end-to-end: wrap each doc's sanitized text in HTML,
+    // pack real WARC response records (one .warc file per partition),
+    // re-read via the record parser, linearize, and emit lengths the
+    // oracle recomputes from the same sanitization
+    "warc_extract" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft-warc-q").toString
+      val d = docs(s, dir).select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), "[&<>]", ""),
+          "[ \\t\\n\\r]+", " ").as("clean"))
+      import s.implicits._
+      d.select(col("doc_id"), col("clean")).as[(Long, String)]
+        .repartition(8)
+        .foreachPartition { (it: Iterator[(Long, String)]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val bos = new java.io.ByteArrayOutputStream()
+          it.foreach { case (id, clean) =>
+            val html = s"<html><body><h1>t</h1><p>$clean</p></body></html>"
+            val body = html.getBytes("UTF-8")
+            val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            val payload = http.getBytes("ISO-8859-1") ++ body
+            val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:$id>\r\n" +
+              s"WARC-Target-URI: http://docs.example.com/doc/$id\r\n" +
+              s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+              "Content-Type: application/http; msgtype=response\r\n" +
+              s"Content-Length: ${payload.length}\r\n\r\n"
+            bos.write(rec.getBytes("ISO-8859-1")); bos.write(payload)
+            bos.write("\r\n\r\n".getBytes)
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, f"part-$pid%05d.warc"), bos.toByteArray)
+          ()
+        }
+      val recs = graft.sources.Warc.readRecords(s, out)
+      graft.sources.Warc.extractDocuments(recs, "graft-warc")
+        .select(
+          element_at(split(col("metadata")("url"), "/"), -1).cast("long").as("doc_id"),
+          col("metadata")("url").as("url"),
+          length(col("text")).cast("long").as("n_chars"))
+    }),
+
     // token sink end-to-end: tokenize -> binary shard write -> metadata
     // table; each doc's token range length is its word count + eos
     "tokens_sink" -> ((s, dir) => {
@@ -1025,6 +1065,18 @@ object SparkEntry {
         """SELECT doc_id,
           | cast(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_toxic
           |FROM documents""".stripMargin,
+
+      // linearized text of "<h1>t</h1><p>clean</p>" is "t\n" + trim(clean)
+      // (or just "t" when clean is blank); sanitization mirrored exactly
+      "warc_extract" ->
+        """WITH c AS (SELECT doc_id,
+          |  trim(regexp_replace(regexp_replace(text, '[&<>]', '', 'g'),
+          |       '[ \t\n\r]+', ' ', 'g'), ' ') AS t
+          | FROM documents)
+          |SELECT doc_id,
+          | 'docs.example.com/doc/' || cast(doc_id AS VARCHAR) AS url,
+          | cast(CASE WHEN length(t) = 0 THEN 1 ELSE 2 + length(t) END AS BIGINT) AS n_chars
+          |FROM c""".stripMargin,
 
       "tokens_sink" ->
         s"""SELECT doc_id, cast(len($wordsSql) + 1 AS BIGINT) AS n_tokens

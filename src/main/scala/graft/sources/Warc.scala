@@ -1,0 +1,296 @@
+package graft.sources
+
+import graft.operators.TagRunner
+import graft.taggers.TaggerRegistry
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, InputStream}
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** WARC ingestion — the Spark re-expression of the reference's Common
+  * Crawl pipeline (/root/reference/python/dolma/warc/processor.py:35-296):
+  * parse WARC response records, decode the HTTP payload, run pre-taggers
+  * on the raw HTML, linearize HTML → text, run post-taggers, and emit
+  * dolma documents.
+  *
+  * Parallelism grain mirrors the reference exactly: one task per WARC
+  * file (`binaryFile` source → `flatMap` record parse). WARC.gz is not
+  * block-splittable in general, and CC shards are ~1 GB by construction —
+  * per-file tasks are the correct 100-TB unit (the reference's
+  * process-per-file pool, parallel-ized by Spark's scheduler instead).
+  *
+  * Deviations, by design:
+  *  - fastwarc → a plain-JVM record parser (WARC/1.0-1.1 framing,
+  *    multi-member gzip via GZIPInputStream's native concatenated-member
+  *    handling);
+  *  - resiliparse linearization → [[Linearizer.linearize]], a small real
+  *    HTML-to-text pass (script/style dropped, block tags → newlines,
+  *    entities decoded) — pluggable like the reference's
+  *    LinearizerRegistry;
+  *  - chardet fallback → charset from HTTP headers, then UTF-8, then
+  *    ISO-8859-1 (which cannot fail).
+  */
+object Warc {
+
+  final case class WarcRecord(
+      recordType: String,
+      recordId: String,
+      targetUri: String,
+      date: String,
+      contentType: String,
+      httpCharset: String,
+      payload: Array[Byte])
+
+  val recordSchema: StructType = StructType(Seq(
+    StructField("record_type", StringType),
+    StructField("record_id", StringType),
+    StructField("warc_url", StringType),
+    StructField("url", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_type", StringType),
+    StructField("html", StringType),
+    StructField("warc_file", StringType)))
+
+  /** Iterate WARC records from a (possibly multi-member-gzip) stream. */
+  def iterateRecords(in0: InputStream, gzipped: Boolean): Iterator[WarcRecord] = {
+    val in = new BufferedInputStream(
+      if (gzipped) new java.util.zip.GZIPInputStream(in0, 1 << 16) else in0, 1 << 16)
+
+    def readLine(): String = {
+      val buf = new StringBuilder
+      var c = in.read()
+      while (c >= 0 && c != '\n') {
+        if (c != '\r') buf.append(c.toChar)
+        c = in.read()
+      }
+      if (c < 0 && buf.isEmpty) null else buf.toString
+    }
+
+    def readFully(n: Long): Array[Byte] = {
+      val out = new ByteArrayOutputStream(math.min(n, 1L << 20).toInt)
+      val chunk = new Array[Byte](8192)
+      var remaining = n
+      while (remaining > 0) {
+        val r = in.read(chunk, 0, math.min(chunk.length.toLong, remaining).toInt)
+        if (r < 0) remaining = 0
+        else { out.write(chunk, 0, r); remaining -= r }
+      }
+      out.toByteArray
+    }
+
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private def advance(): Unit = {
+        nextRec = null
+        var line = readLine()
+        while (nextRec == null && line != null) {
+          if (line.startsWith("WARC/")) {
+            // WARC named fields until the empty line
+            val headers = scala.collection.mutable.HashMap.empty[String, String]
+            var h = readLine()
+            while (h != null && h.nonEmpty) {
+              val colon = h.indexOf(':')
+              if (colon > 0)
+                headers.update(h.substring(0, colon).trim.toLowerCase,
+                  h.substring(colon + 1).trim)
+              h = readLine()
+            }
+            val len = headers.getOrElse("content-length", "0").toLong
+            val body = readFully(len)
+            val rtype = headers.getOrElse("warc-type", "")
+            val (charset, payload) =
+              if (rtype == "response" &&
+                  headers.getOrElse("content-type", "").startsWith("application/http"))
+                splitHttpPayload(body)
+              else ("", body)
+            nextRec = WarcRecord(
+              recordType = rtype,
+              recordId = headers.getOrElse("warc-record-id", ""),
+              targetUri = headers.getOrElse("warc-target-uri", ""),
+              date = headers.getOrElse("warc-date", ""),
+              contentType = headers.getOrElse("content-type", ""),
+              httpCharset = charset,
+              payload = payload)
+          } else line = readLine()
+        }
+      }
+      advance()
+      def hasNext: Boolean = nextRec != null
+      def next(): WarcRecord = { val r = nextRec; advance(); r }
+    }
+  }
+
+  /** Split an HTTP response payload into (charset from headers, body). */
+  def splitHttpPayload(bytes: Array[Byte]): (String, Array[Byte]) = {
+    // find \r\n\r\n (or \n\n) header terminator
+    var i = 0
+    var end = -1
+    while (end < 0 && i < bytes.length - 1) {
+      if (bytes(i) == '\n' &&
+          (i + 1 < bytes.length && bytes(i + 1) == '\n')) end = i + 2
+      else if (bytes(i) == '\n' && i + 2 < bytes.length &&
+          bytes(i + 1) == '\r' && bytes(i + 2) == '\n') end = i + 3
+      i += 1
+    }
+    if (end < 0) return ("", bytes)
+    val head = new String(bytes, 0, end, StandardCharsets.ISO_8859_1)
+    val charset = {
+      val m = "(?i)charset=([A-Za-z0-9_\\-]+)".r.findFirstMatchIn(head)
+      m.map(_.group(1)).getOrElse("")
+    }
+    (charset, java.util.Arrays.copyOfRange(bytes, end, bytes.length))
+  }
+
+  /** Charset decode: declared charset, then UTF-8, then Latin-1
+    * (processor.py:146-157's charset → chardet ladder). */
+  def decode(payload: Array[Byte], declared: String): String = {
+    def tryDecode(cs: String): Option[String] =
+      try {
+        val dec = Charset.forName(cs).newDecoder()
+        Some(dec.decode(java.nio.ByteBuffer.wrap(payload)).toString.trim)
+      } catch { case _: Exception => None }
+    (if (declared.nonEmpty) tryDecode(declared) else None)
+      .orElse(tryDecode("UTF-8"))
+      .getOrElse(new String(payload, StandardCharsets.ISO_8859_1).trim)
+  }
+
+  /** UrlNormalizer (warc/utils.py:26-46): strip wrapping quotes/brackets,
+    * drop the protocol, strip the www\d* subdomain and trailing slashes,
+    * lowercase the host. */
+  def normalizeUrl(url: String): String = {
+    var s = url.replaceAll("(^['\"<]+)|([/'\">]+$)", "")
+    val scheme = s.indexOf("://")
+    if (scheme >= 0) s = s.substring(scheme + 3)
+    val slash = s.indexOf('/')
+    s = if (slash >= 0) s.substring(0, slash).toLowerCase + s.substring(slash) else s.toLowerCase
+    s = s.replaceAll("^www\\d*\\.", "").replaceAll("/+$", "")
+    s
+  }
+
+  /** Read raw WARC records: one Spark task per file. */
+  def readRecords(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.RowEncoder
+    val files = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+    files.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val file = row.getString(0)
+        val bytes = row.getAs[Array[Byte]](1)
+        val gz = file.endsWith(".gz")
+        iterateRecords(new java.io.ByteArrayInputStream(bytes), gz)
+          .filter(r => r.recordType == "response" || r.recordType == "resource")
+          .map { r =>
+            Row(r.recordType, r.recordId, r.targetUri, normalizeUrl(r.targetUri),
+              r.date, r.contentType, decode(r.payload, r.httpCharset), file)
+          }
+      }
+    }(RowEncoder.encoderFor(recordSchema))
+  }
+
+  /** Full extraction pipeline (processor.py:160-206): pre-taggers on the
+    * HTML, linearize, post-taggers on the text; skip flags mirror
+    * skip_no_pre_taggers / skip_no_post_taggers. Returns dolma-shaped
+    * documents (id, text, source, version, metadata, attributes). */
+  def extractDocuments(
+      records: DataFrame,
+      sourceName: String,
+      preTaggers: Seq[String] = Nil,
+      postTaggers: Seq[String] = Nil,
+      skipNoPreTaggers: Boolean = false,
+      skipNoPostTaggers: Boolean = false,
+      storeHtml: Boolean = false): DataFrame = {
+    val withText = records
+      .filter(length(col("html")) > 0)
+      .withColumn("text", Linearizer.linearizeCol(col("html")))
+    val pre = preTaggers
+    val post = postTaggers
+    val tagged =
+      if (pre.isEmpty && post.isEmpty) withText.withColumn("n_pre", lit(0)).withColumn("n_post", lit(0))
+      else {
+        var d = withText
+        if (pre.nonEmpty) {
+          d = TagRunner.withAttributes(d, pre, pre.mkString("+"), textCol = "html",
+            outputCol = "__pre_attrs")
+            .withColumn("n_pre", size(map_keys(col("__pre_attrs"))))
+        } else d = d.withColumn("n_pre", lit(0))
+        if (post.nonEmpty) {
+          d = TagRunner.withAttributes(d, post, post.mkString("+"), textCol = "text",
+            outputCol = "__post_attrs")
+            .withColumn("n_post", size(map_keys(col("__post_attrs"))))
+        } else d = d.withColumn("n_post", lit(0))
+        d
+      }
+    val filtered = tagged
+      .filter(if (skipNoPreTaggers) col("n_pre") > 0 else lit(true))
+      .filter(if (skipNoPostTaggers) col("n_post") > 0 else lit(true))
+    val metaCols = Seq(
+      col("warc_url"), col("url"), col("warc_date"), col("content_type")) ++
+      (if (storeHtml) Seq(col("html")) else Nil)
+    val metaNames = Seq("warc_url", "url", "warc_date", "content_type") ++
+      (if (storeHtml) Seq("html") else Nil)
+    val attrsCol =
+      if (pre.nonEmpty && post.nonEmpty)
+        map_concat(col("__pre_attrs"), col("__post_attrs"))
+      else if (pre.nonEmpty) col("__pre_attrs")
+      else if (post.nonEmpty) col("__post_attrs")
+      else map().cast(MapType(StringType, TagRunner.spanTripleType))
+    filtered.select(
+      col("record_id").as("id"),
+      col("text"),
+      lit(sourceName).as("source"),
+      lit("v0").as("version"),
+      map(metaNames.zip(metaCols).flatMap { case (n, c) => Seq(lit(n), c) }: _*)
+        .as("metadata"),
+      attrsCol.as("attributes"))
+  }
+}
+
+/** Minimal real HTML → text linearizer (stand-in for resiliparse,
+  * warc/linearizers.py; registered behind one function so a better
+  * engine can be swapped in): drops script/style/comments, renders block
+  * tags as newlines, strips remaining tags, decodes common entities,
+  * collapses horizontal whitespace. */
+object Linearizer {
+
+  private val BlockTags = Set("p", "div", "br", "li", "ul", "ol", "h1", "h2",
+    "h3", "h4", "h5", "h6", "tr", "table", "section", "article", "header",
+    "footer", "blockquote", "pre")
+
+  def linearize(html: String): String = {
+    val noScript = html
+      .replaceAll("(?is)<head(?![a-z])[^>]*>.*?</head\\s*>", " ")
+      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+      .replaceAll("(?s)<!--.*?-->", " ")
+    val sb = new StringBuilder(noScript.length)
+    var i = 0
+    while (i < noScript.length) {
+      val c = noScript.charAt(i)
+      if (c == '<') {
+        val close = noScript.indexOf('>', i)
+        if (close < 0) i = noScript.length
+        else {
+          val inner = noScript.substring(i + 1, close).stripPrefix("/")
+          val name = inner.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+          if (BlockTags.contains(name)) sb.append('\n') else sb.append(' ')
+          i = close + 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    val entities = sb.toString
+      .replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
+      .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+    entities.linesIterator
+      .map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  def linearizeCol(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val f = org.apache.spark.sql.functions.udf((s: String) =>
+      if (s == null) "" else linearize(s))
+    f(html)
+  }
+}

@@ -79,6 +79,18 @@ object LengthTaggers {
     }
   }
 
+  /** Per-paragraph regex-split token counts + a document rollup that sums
+    * the paragraph scores (length.py:67-75). */
+  final class WhitespaceTokenizerWithParagraphsV1 extends Tagger {
+    val name = "whitespace_tokenizer_with_paragraphs_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val paras = TextSplit.splitParagraphs(text)
+      val spans = paras.map(p =>
+        Span(p.start, p.end, "paragraph", TextSplit.regexSplitCount(p.text).toDouble))
+      spans :+ Span(0, CodePoints.length(text), "document", spans.map(_.score).sum)
+    }
+  }
+
   /** Uniseg-style word counts per paragraph, with the reference's
     * negative-length quirk kept (length.py:85-103: mixer can only do
     * greater-than, so negated lengths enable "shorter-than" filters). */
@@ -111,6 +123,8 @@ object LengthTaggers {
     TaggerRegistry.register("bytes_length_v1")(new BytesLengthV1)
     TaggerRegistry.register("doc_count_v1")(new DocCountV1)
     TaggerRegistry.register("whitespace_tokenizer_v1")(new WhitespaceTokenizerV1)
+    TaggerRegistry.register("whitespace_tokenizer_with_paragraphs_v1")(
+      new WhitespaceTokenizerWithParagraphsV1)
     TaggerRegistry.register("char_length_with_paragraphs_v1")(new CharLengthWithParagraphsV1)
     TaggerRegistry.register("uniseg_length_v1")(new UnisegLengthV1)
     TaggerRegistry.register("uniseg_length_paragraphs_v1")(new UnisegLengthParagraphsV1())

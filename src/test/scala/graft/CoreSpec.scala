@@ -84,4 +84,18 @@ class CoreSpec extends AnyFunSuite {
     assert(graft.core.Attributes.mangle("exp", "gopher_v2", "word count!") ==
       "exp__gopher_v2__word_count_")
   }
+
+  test("whitespace_tokenizer_with_paragraphs_v1: per-paragraph counts + doc rollup (length.py:67-75)") {
+    val t = graft.taggers.TaggerRegistry.resolve("whitespace_tokenizer_with_paragraphs_v1")
+    val spans = t.predict("This is a test.\nsecond line here")
+    val paras = spans.filter(_.typ == "paragraph")
+    val doc = spans.filter(_.typ == "document")
+    assert(paras.length == 2)
+    // re.split(r"\w+|[^\w\s]+") segment counts: "This is a test." -> 6
+    // ("", " ", " ", " ", "", "") ... matches whitespace_tokenizer_v1 on
+    // the same text
+    val whole = graft.taggers.TaggerRegistry.resolve("whitespace_tokenizer_v1")
+    assert(paras.head.score == whole.predict("This is a test.").head.score)
+    assert(doc.length == 1 && doc.head.score == paras.map(_.score).sum)
+  }
 }

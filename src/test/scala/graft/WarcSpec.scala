@@ -1,0 +1,116 @@
+package graft
+
+import graft.sources.{Linearizer, Warc}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** WARC ingestion (processor.py semantics over synthesized fixtures). */
+class WarcSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def warcResponse(uri: String, html: String, charset: String = "utf-8"): Array[Byte] = {
+    val body = html.getBytes(StandardCharsets.UTF_8)
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$charset\r\n\r\n"
+    val payload = http.getBytes(StandardCharsets.ISO_8859_1) ++ body
+    val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
+      s"WARC-Target-URI: $uri\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    rec.getBytes(StandardCharsets.ISO_8859_1) ++ payload ++ "\r\n\r\n".getBytes
+  }
+
+  private def warcInfo(): Array[Byte] = {
+    val body = "software: test\r\n".getBytes
+    (s"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:info>\r\n" +
+      s"Content-Type: application/warc-fields\r\nContent-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ body ++ "\r\n\r\n".getBytes
+  }
+
+  private val html1 =
+    "<html><head><title>T</title><style>p{}</style></head>" +
+      "<body><h1>Heading</h1><p>First paragraph with an email dev1@example.com.</p>" +
+      "<script>var x = 1;</script><p>Second &amp; final.</p></body></html>"
+  private val html2 = "<html><body><div>clean page</div></body></html>"
+
+  private def writeFixture(gz: Boolean): String = {
+    val dir = Files.createTempDirectory("graft-warc").toString
+    val bytes = warcInfo() ++
+      warcResponse("http://www2.Example.com/a/", html1) ++
+      warcResponse("https://other.org/b", html2)
+    val name = if (gz) "test.warc.gz" else "test.warc"
+    val out = if (gz) {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(bytes); g.close()
+      bos.toByteArray
+    } else bytes
+    Files.write(Paths.get(dir, name), out)
+    dir
+  }
+
+  test("record parsing: framing, headers, charset, http body split") {
+    val recs = Warc.iterateRecords(
+      new java.io.ByteArrayInputStream(
+        warcInfo() ++ warcResponse("http://x.com/", html2)), gzipped = false).toVector
+    assert(recs.map(_.recordType) == Vector("warcinfo", "response"))
+    val r = recs(1)
+    assert(r.targetUri == "http://x.com/")
+    assert(r.httpCharset == "utf-8")
+    assert(new String(r.payload, StandardCharsets.UTF_8) == html2)
+  }
+
+  test("readRecords: one row per response record, plain and gzip") {
+    for (gz <- Seq(false, true)) {
+      val dir = writeFixture(gz)
+      val df = Warc.readRecords(spark, dir)
+      val rows = df.orderBy(col("warc_url")).collect()
+      assert(rows.length == 2, s"gz=$gz")
+      assert(rows(0).getAs[String]("warc_url") == "http://www2.Example.com/a/")
+      // UrlNormalizer: protocol dropped, www\d* stripped, host lowercased,
+      // trailing slash removed (warc/utils.py:26-46)
+      assert(rows(0).getAs[String]("url") == "example.com/a")
+      assert(rows(1).getAs[String]("url") == "other.org/b")
+      assert(rows(0).getAs[String]("html").contains("<p>First paragraph"))
+    }
+  }
+
+  test("linearizer: scripts/styles dropped, blocks to newlines, entities decoded") {
+    val text = Linearizer.linearize(html1)
+    assert(text.contains("Heading"))
+    assert(text.contains("First paragraph with an email dev1@example.com."))
+    assert(text.contains("Second & final."))
+    assert(!text.contains("var x"))
+    assert(!text.contains("p{}"))
+    assert(!text.contains("<"))
+    // block boundary between heading and paragraph
+    assert(text.linesIterator.toSeq.head == "Heading")
+  }
+
+  test("extractDocuments: pre/post taggers, skip flags, dolma shape") {
+    val dir = writeFixture(gz = false)
+    val recs = Warc.readRecords(spark, dir)
+    val docs = Warc.extractDocuments(recs, "cc-test",
+      preTaggers = Seq("pii_regex_with_counts_fast_v2"),
+      postTaggers = Seq("char_length_v1"))
+    val rows = docs.orderBy(col("id")).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("source") == "cc-test"))
+    assert(rows.forall(r => r.getAs[String]("text").nonEmpty))
+    val withEmail = docs
+      .filter(col("metadata")("url") === "example.com/a").head()
+    assert(withEmail.getAs[String]("text").contains("dev1@example.com"))
+    val attrs = withEmail.getAs[Map[String, Any]]("attributes")
+    assert(attrs.keys.exists(_.contains("pii")))
+    assert(attrs.keys.exists(_.contains("char_length")))
+
+    // skip_no_post_taggers: v2r2 token repetitions emit NO spans on clean
+    // text, so both pages drop
+    val skipped = Warc.extractDocuments(recs, "cc-test",
+      postTaggers = Seq("tokenizer_repetitions_v2r2"), skipNoPostTaggers = true)
+    assert(skipped.count() == 0)
+  }
+}
