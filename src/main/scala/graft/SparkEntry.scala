@@ -364,6 +364,23 @@ object SparkEntry {
         TagRunner.attrScore(a("prose_pct")).as("prose_pct"))
     }),
 
+    // CC-license extraction over planted html metadata: which license (or
+    // none) each doc carries is doc_id arithmetic
+    "tag_cc_license" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+        .withColumn("html",
+          when(col("doc_id") % 3 === 0,
+            lit("""<a href="https://creativecommons.org/licenses/by/4.0/">CC BY 4.0</a>"""))
+            .when(col("doc_id") % 3 === 1,
+              lit("""<a href="https://creativecommons.org/licenses/by-nc-sa/3.0/deed.es">x</a>"""))
+            .otherwise(lit("""<a href="http://example.com">no license</a>""")))
+      val attrs = TagRunner.tag(d, Seq("cc_re"), "t",
+        idCol = "id", textCol = "text", metaCols = Seq("html"), roundScores = false)
+      attrs.select(col("id").cast("long").as("doc_id"),
+        coalesce(try_element_at(map_keys(col("attributes")), lit(1)),
+          lit("none")).as("license"))
+    }),
+
     // URL blocklist battery over synthesized metadata URLs: hosts-format
     // domain list + ABP engine; block/no-block is doc_id arithmetic
     "tag_url_blocklist" -> ((s, dir) => {
@@ -1156,6 +1173,15 @@ object SparkEntry {
            |FROM e, q, qb
            |WHERE bit_count(xor(e.bucket, qb.qbucket)) <= 1
            |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      // planted license links -> mangled attribute names by residue
+      "tag_cc_license" ->
+        """SELECT doc_id,
+          | CASE cast(doc_id % 3 AS INT)
+          |   WHEN 0 THEN 't__cc_re__cc_by_4_0'
+          |   WHEN 1 THEN 't__cc_re__cc_by_nc_sa_3_0_es'
+          |   ELSE 'none' END AS license
+          |FROM documents""".stripMargin,
 
       // synthesized URLs: each blocklist family hits exactly one doc_id
       // residue class (hosts list needs the exact host, the link list the

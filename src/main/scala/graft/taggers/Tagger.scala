@@ -44,6 +44,7 @@ object TaggerRegistry {
       RepetitionTaggers.registerAll()
       TextQualityTaggers.registerAll()
       UrlTaggers.registerAll()
+      LicenseTaggers.registerAll()
       FastTextTaggers.registerAll()
     }
     def ensure(): Unit = done
