@@ -83,6 +83,8 @@ object Main {
     val docs = raw
       .withColumnRenamed(idColName, "id")
       .withColumnRenamed(textColName, "content")
+      // ids are strings in the dolma document model; coerce numeric ids
+      .withColumn("id", col("id").cast("string"))
       // capture provenance columns at scan time — after joins the scan is
       // no longer the unique source for input_file_name()
       .withColumn("__file", input_file_name())
