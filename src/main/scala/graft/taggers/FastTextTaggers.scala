@@ -114,6 +114,100 @@ final class CodeCompositionTagger(model: => FastTextClassifier) extends Tagger {
   }
 }
 
+/** Faithful BaseLanguageTagger semantics (language.py:37-71,149-197,
+  * 300-345) over the in-repo classifier: all-language distributions per
+  * unit (doc or paragraph, fastText k=-1 descending order), optional
+  * `not_<lang>` negatives (1-score), the en-only filter with its
+  * `("en", 0.0)` fallback, the 1e2 min-score/round-2 variant, and the
+  * Σ(len×score)/len doc_en / doc_not_en rollup. */
+final class LanguageTagger(
+    val name: String,
+    model: => FastTextClassifier,
+    paragraphs: Boolean,
+    includeNegative: Boolean,
+    enFilter: Boolean = false,
+    minScore: Double = 0.0,
+    round2: Boolean = false,
+    docScoreRollup: Boolean = false) extends Tagger {
+
+  private lazy val m = model
+
+  private def predictText(text: String): Seq[(String, Double)] = {
+    val probs = m.predictProbaInto(text)
+    val ordered = m.labels.indices
+      .sortBy(i => -probs(i))
+      .map(i => (m.labels(i), probs(i)))
+    val filtered =
+      if (enFilter) {
+        val en = ordered.filter(_._1 == "en")
+        if (en.nonEmpty) en else Seq(("en", 0.0))
+      } else if (minScore > 0.0)
+        ordered.filter(_._2 > minScore)
+          .map { case (l, s) => (l, graft.core.Attributes.roundScore(s, 2)) }
+      else ordered
+    filtered
+  }
+
+  def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+    val docLen = CodePoints.length(text)
+    val base: Vector[Span] =
+      if (paragraphs)
+        TextSplit.splitParagraphs(text).toVector.flatMap { p =>
+          predictText(p.text).map { case (l, s) => Span(p.start, p.end, l, s) }
+        }
+      else
+        predictText(text).toVector.map { case (l, s) => Span(0, docLen, l, s) }
+    val withNeg =
+      if (includeNegative)
+        base ++ base.map(s => Span(s.start, s.end, s"not_${s.typ}", 1.0 - s.score))
+      else base
+    if (docScoreRollup) {
+      // ZeroDivisionError branch: BOTH scores 0.0 on empty docs
+      // (language.py:303-309)
+      val (docEn, docNotEn) =
+        if (docLen == 0) (0.0, 0.0)
+        else {
+          val en = withNeg.iterator.filter(_.typ == "en")
+            .map(s => (s.end - s.start) * s.score).sum / docLen
+          (en, 1.0 - en)
+        }
+      withNeg ++ Vector(
+        Span(0, docLen, "doc_en", docEn),
+        Span(0, docLen, "doc_not_en", docNotEn))
+    } else withNeg
+  }
+}
+
+/** dclm-oh-eli5 (quality.py:18-42): pre-norm joins the stripped document's
+  * lines with spaces; single top prediction; when the argmax is the
+  * negative (cc/low-quality) label the probability flips to 1-p; emitted
+  * under the flattened type "score". */
+final class DclmQualityTagger(
+    val name: String, model: => FastTextClassifier, negativeLabel: String) extends Tagger {
+  private lazy val m = model
+  def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+    val joined = TextSplit.splitLines(text.trim).mkString(" ")
+    val (label, prob) = m.predict(joined)
+    val score = if (label == negativeLabel) 1.0 - prob else prob
+    Vector(Span(0, CodePoints.length(text), "score", score))
+  }
+}
+
+/** dolma17-quality (quality.py:45-68): HF Strip + WhitespaceSplit
+  * pre-norm, full k=-1 distribution sorted descending, one span per
+  * label. */
+final class Dolma17QualityTagger(
+    val name: String, model: => FastTextClassifier) extends Tagger {
+  private lazy val m = model
+  def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+    val pre = TextSplit.pythonSplit(text.trim).mkString(" ")
+    val probs = m.predictProbaInto(pre)
+    val docLen = CodePoints.length(text)
+    m.labels.indices.sortBy(i => -probs(i))
+      .map(i => Span(0, docLen, m.labels(i), probs(i))).toVector
+  }
+}
+
 object FastTextTaggers {
 
   /** Tiny deterministic toxicity model: synthetic "toxic" vs "clean"
@@ -186,12 +280,31 @@ object FastTextTaggers {
   }
 
   def registerAll(): Unit = {
+    // BaseLanguageTagger family (language.py:149-197,336-345) — the
+    // fastText-engine variants; cld2/cld3/langdetect/lingua are redundant
+    // third-party engines (scoped out per SURVEY)
+    TaggerRegistry.register("ft_lang_id_1e2")(
+      new LanguageTagger("ft_lang_id_1e2", graft.Models.langId,
+        paragraphs = false, includeNegative = false, minScore = 0.01, round2 = true))
+    TaggerRegistry.register("ft_lang_id_paragraph_v1")(
+      new LanguageTagger("ft_lang_id_paragraph_v1", graft.Models.langId,
+        paragraphs = true, includeNegative = false))
+    TaggerRegistry.register("ft_lang_id_en_doc_v2")(
+      new LanguageTagger("ft_lang_id_en_doc_v2", graft.Models.langId,
+        paragraphs = false, includeNegative = true, enFilter = true))
+    TaggerRegistry.register("ft_lang_id_en_only_v2")(
+      new LanguageTagger("ft_lang_id_en_only_v2", graft.Models.langId,
+        paragraphs = false, includeNegative = false, enFilter = true))
+    TaggerRegistry.register("ft_lang_id_en_paragraph_v2")(
+      new LanguageTagger("ft_lang_id_en_paragraph_v2", graft.Models.langId,
+        paragraphs = true, includeNegative = true, enFilter = true))
     TaggerRegistry.register("ft_lang_id_doc_v1")(
-      new FastTextTagger("ft_lang_id_doc_v1", graft.Models.langId, "en",
-        paragraphLevel = false))
+      new LanguageTagger("ft_lang_id_doc_v1", graft.Models.langId,
+        paragraphs = false, includeNegative = false))
     TaggerRegistry.register("ft_lang_id_en_paragraph_with_doc_score_v2")(
-      new FastTextTagger("ft_lang_id_en_paragraph_with_doc_score_v2",
-        graft.Models.langId, "en", paragraphLevel = true))
+      new LanguageTagger("ft_lang_id_en_paragraph_with_doc_score_v2",
+        graft.Models.langId, paragraphs = true, includeNegative = true,
+        enFilter = true, docScoreRollup = true))
     TaggerRegistry.register("jigsaw_toxicity_document_v1")(
       new FastTextTagger("jigsaw_toxicity_document_v1", toxicity, "toxic",
         paragraphLevel = false))
@@ -204,6 +317,12 @@ object FastTextTaggers {
     TaggerRegistry.register("ft_quality_document_v1")(
       new FastTextTagger("ft_quality_document_v1", quality, "hq",
         paragraphLevel = false))
+    // quality.py registry names (in-repo stand-in weights; "lq" plays the
+    // reference's negative "cc" label)
+    TaggerRegistry.register("dclm-oh-eli5")(
+      new DclmQualityTagger("dclm-oh-eli5", quality, negativeLabel = "lq"))
+    TaggerRegistry.register("dolma17-quality")(
+      new Dolma17QualityTagger("dolma17-quality", quality))
     // registry-name parity with jigsaw.py:16-45 (hatespeech/nsfw doc +
     // sentence variants; same engine, in-repo nsfw stand-in vocabulary;
     // "sencence" typo is the reference's registered name)

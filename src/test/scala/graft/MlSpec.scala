@@ -62,4 +62,53 @@ class MlSpec extends AnyFunSuite {
     assert(pb + pc + pd < 1.0 + 1e-9)
     assert(lm.perplexity("") == Double.PositiveInfinity)
   }
+
+  test("BaseLanguageTagger semantics: all-langs, negatives, en-filter, rollup (language.py:37-71)") {
+    val reg = graft.taggers.TaggerRegistry
+    val en = "the data stream with that value from this"
+    // doc_v1: one span per language, descending probability, no negatives
+    val allSpans = reg.resolve("ft_lang_id_doc_v1").predict(en)
+    assert(allSpans.length == 5)
+    assert(allSpans.map(_.score) == allSpans.map(_.score).sortBy(-_))
+    assert(allSpans.head.typ == "en")
+    assert(!allSpans.exists(_.typ.startsWith("not_")))
+    // 1e2: raw scores <= 0.01 dropped FIRST, survivors then rounded to 2
+    // decimals (language.py:163-168 — a survivor may round down to 0.01)
+    val min = reg.resolve("ft_lang_id_1e2").predict(en)
+    assert(min.nonEmpty && min.length < 5)
+    assert(min.head.typ == "en" && min.head.score > 0.9)
+    assert(min.forall(s => s.score == graft.core.Attributes.roundScore(s.score, 2)))
+    // en_doc_v2: en + not_en pair
+    val enDoc = reg.resolve("ft_lang_id_en_doc_v2").predict(en)
+    assert(enDoc.map(_.typ).sorted == Vector("en", "not_en"))
+    assert(math.abs(enDoc.map(_.score).sum - 1.0) < 1e-9)
+    // en filter fallback: non-matching text still yields ("en", score)
+    val zh = reg.resolve("ft_lang_id_en_only_v2").predict("\u7684 \u662f \u4e86 \u5728")
+    assert(zh.map(_.typ) == Vector("en"))
+    // with_doc_score: paragraph spans + doc_en/doc_not_en rollup
+    val two = "the data stream with that value\n\nder wert und die daten nicht"
+    val rolled = reg.resolve("ft_lang_id_en_paragraph_with_doc_score_v2").predict(two)
+    val docEn = rolled.find(_.typ == "doc_en").get.score
+    val docNotEn = rolled.find(_.typ == "doc_not_en").get.score
+    assert(docEn > 0.0 && docEn < 1.0 && math.abs(docEn + docNotEn - 1.0) < 1e-9)
+    assert(rolled.count(_.typ == "en") == 2) // one per paragraph
+    // empty doc: ZeroDivisionError branch -> both rollups 0.0
+    val empty = reg.resolve("ft_lang_id_en_paragraph_with_doc_score_v2").predict("")
+    assert(empty.filter(_.typ.startsWith("doc_")).forall(_.score == 0.0))
+  }
+
+  test("dclm/dolma17 quality taggers: pre-norm + label flattening (quality.py:18-68)") {
+    val reg = graft.taggers.TaggerRegistry
+    val hqText = "the history of science\nshows that careful analysis\nreveals structure"
+    val lqText = "zxqv qwpvk jzxmw pqynd kkwfj zzzyx"
+    val d1 = reg.resolve("dclm-oh-eli5").predict(hqText)
+    assert(d1.map(_.typ) == Vector("score"))
+    val hqScore = d1.head.score
+    val lqScore = reg.resolve("dclm-oh-eli5").predict(lqText).head.score
+    // "score" is always P(high-quality): flipped when argmax is negative
+    assert(hqScore > 0.5 && lqScore < 0.5)
+    val d17 = reg.resolve("dolma17-quality").predict(hqText)
+    assert(d17.map(_.typ).sorted == Vector("hq", "lq"))
+    assert(d17.map(_.score) == d17.map(_.score).sortBy(-_))
+  }
 }
