@@ -200,6 +200,30 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // the analyzer's real shape: tag -> explode spans -> per-ATTRIBUTE
+    // tracker aggregation (groupByKey + typed Aggregator, tracker merge
+    // as the map-side combiner). Exact while distinct values <= capacity,
+    // so totals/sums/bin counts reduce to SQL aggregates.
+    "analyzer_grouped_summary" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+      val attrs = TagRunner.tag(d, Seq("gopher_v2"), "t",
+        idCol = "id", textCol = "text", roundScores = false)
+      val exploded = TagRunner.explodeAttributes(attrs)
+        .filter(col("attr").isin(
+          "t__gopher_v2__word_count", "t__gopher_v2__required_word_count"))
+      val agg = new graft.functions.Binning.InferSummaryAgg(1 << 20, 1000)
+      exploded.select(col("attr"), col("score")).as[(String, Double)]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg.toColumn.name("s"))
+        .toDF("attr", "s")
+        .select(col("attr"),
+          col("s.total").as("total"),
+          col("s.sum").cast("long").as("sum_scores"),
+          size(col("s.bins")).cast("long").as("n_bins"))
+        .orderBy(col("attr"))
+    }),
+
     "analyzer_quantiles" -> ((s, dir) =>
       docs(s, dir).groupBy(col("source"))
         .agg(
@@ -599,6 +623,29 @@ object SparkEntry {
       s.table(name)
     }),
 
+    // streaming exact-dedup with custom per-key state
+    // (flatMapGroupsWithState): emitted (total, dups) increments fold to
+    // order-independent per-key aggregates the oracle recomputes
+    "streaming_dedup_state" -> ((s, dir) => {
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val keys = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select(when(col("doc_id") % 11 === 7,
+          concat(lit("dup-"), (col("doc_id") % 3).cast("string")))
+          .otherwise(concat(lit("u-"), col("doc_id").cast("string"))).as("key"))
+        .as[String]
+      val out = graft.streaming.StreamingTagger.dedupCounts(keys)
+        .toDF("key", "total", "dups")
+      val name = s"graft_dedup_stream_${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).groupBy("key")
+        .agg(max(col("total")).as("n_occurrences"), sum(col("dups")).as("n_dups"))
+    }),
+
     "multimodal_features" -> ((s, _) =>
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.syntheticMedia(s, 200L))
@@ -791,6 +838,16 @@ object SparkEntry {
           | count(*) AS n, cast(sum(floor(value*100)) AS BIGINT) AS value_cents
           |FROM events GROUP BY 1, 2""".stripMargin,
 
+      // per-key occurrence totals are order/batching-independent
+      "streaming_dedup_state" ->
+        """WITH k AS (SELECT CASE WHEN doc_id % 11 = 7
+          |    THEN 'dup-' || cast(doc_id % 3 AS VARCHAR)
+          |    ELSE 'u-' || cast(doc_id AS VARCHAR) END AS key
+          |  FROM documents)
+          |SELECT key, count(*) AS n_occurrences,
+          |  cast(count(*) - 1 AS BIGINT) AS n_dups
+          |FROM k GROUP BY 1""".stripMargin,
+
       "streaming_events_window" ->
         """SELECT epoch_us(ts) // 300000000 AS bucket, event_type,
           | count(*) AS n, cast(sum(floor(value*100)) AS BIGINT) AS value_cents
@@ -818,6 +875,21 @@ object SparkEntry {
           | FROM events
           | WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
           |GROUP BY 1""".stripMargin,
+
+      // per-attribute tracker state is exact -> totals/sums/distincts are
+      // plain aggregates over the gopher values recomputed in SQL
+      "analyzer_grouped_summary" ->
+        s"""WITH w AS (SELECT doc_id, len($wordsSql) AS wc,
+           |    len(list_filter($wordsSql, x -> x IN
+           |      ('the','be','to','of','and','that','have','with'))) AS rwc
+           |  FROM documents),
+           |u AS (SELECT 't__gopher_v2__word_count' AS attr, wc AS v FROM w
+           |      UNION ALL
+           |      SELECT 't__gopher_v2__required_word_count' AS attr, rwc AS v FROM w)
+           |SELECT attr, count(*) AS total,
+           |  cast(sum(v) AS BIGINT) AS sum_scores,
+           |  cast(count(DISTINCT v) AS BIGINT) AS n_bins
+           |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // exact-tracker summary = value histogram (tracker not full, nOut
       // above distinct count -> passthrough of sorted bins/counts)

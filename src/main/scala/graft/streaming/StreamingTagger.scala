@@ -63,6 +63,29 @@ object StreamingTagger {
       }
   }
 
+  /** Streaming exact-dedup state (the Bloom-probe made incremental):
+    * per-key custom state remembers occurrences seen so far; each
+    * micro-batch emits the key's updated total and how many of the new
+    * arrivals were duplicates. State is one counter per distinct key —
+    * the streaming analogue of the batch first-occurrence window, with
+    * the same single-shuffle-on-key shape. */
+  def dedupCounts(keyed: org.apache.spark.sql.Dataset[String])
+      : org.apache.spark.sql.Dataset[(String, Long, Long)] = {
+    import keyed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    keyed.groupByKey(identity)
+      .flatMapGroupsWithState[Long, (String, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val arrived = rows.size.toLong
+          val total = before + arrived
+          state.update(total)
+          val dupsInBatch = if (before > 0) arrived else arrived - 1
+          Iterator((key, total, dupsInBatch))
+      }
+  }
+
   /** Run a stream from `sourceDir` (parquet files appearing over time)
     * into an in-memory table, processing everything currently available —
     * the batch-driven smoke harness (Trigger.AvailableNow). */
