@@ -157,10 +157,45 @@ object CodeTaggers {
     }
   }
 
+  /** v1 (code_taggers.py:189-226): nl_ratio for EVERY known language
+    * (-1.0 when the language is unknown, together with code_to_text
+    * -1.0 — the reference's bare-except), html code-to-text otherwise
+    * 1.0. */
+  final class StarCoderV1Tagger extends Tagger {
+    val name = "code_starcoder_taggers_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val docLen = CodePoints.length(text)
+      val head = CodePoints.slice(text, 0, 100)
+      val hasXml = if (head.contains("<?xml version=")) 1.0 else 0.0
+      val stars = meta.get("max_stars_count").flatMap(_.toDoubleOption).getOrElse(0.0)
+      val lang = meta.getOrElse("lang", "-no-lang")
+      val known = CommentLexer.knowsLanguage(lang) || lang == "html"
+      val (nlRatio, codeToText) =
+        if (!known) (-1.0, -1.0)
+        else {
+          val nl = CommentLexer.commentRatio(text, lang)
+          val ctt =
+            if (lang == "html") {
+              val stripped = CommentLexer.stripHtml(text)
+              val ratio = if (text.nonEmpty)
+                CodePoints.length(stripped).toDouble / docLen else 0.0
+              if (CodePoints.length(stripped) > 100) ratio else 0.0
+            } else 1.0
+          (nl, ctt)
+        }
+      Vector(
+        Span(0, docLen, "has_xml_template_doc", hasXml),
+        Span(0, docLen, "num_github_stars_doc", stars),
+        Span(0, docLen, "nl_ratio_doc", nlRatio),
+        Span(0, docLen, "code_to_text_ratio_html_doc", codeToText))
+    }
+  }
+
   def registerAll(): Unit = {
     TaggerRegistry.register("code_redpajama_taggers_v1")(new RedPajamaTagger)
     TaggerRegistry.register("code_copyright_comments_v1")(new CopyrightTagger)
     TaggerRegistry.register("code_secrets_v1")(new SecretsTagger)
+    TaggerRegistry.register("code_starcoder_taggers_v1")(new StarCoderV1Tagger)
     TaggerRegistry.register("code_starcoder_taggers_v2")(new StarCoderTagger)
   }
 }
@@ -183,6 +218,8 @@ object CommentLexer {
     "rust" -> Grammar(Seq("//"), "/*", "*/", Seq("\"")),
     "sql" -> Grammar(Seq("--"), "/*", "*/", Seq("'")),
     "ruby" -> Grammar(Seq("#"), "=begin", "=end", Seq("\"", "'")))
+
+  def knowsLanguage(lang: String): Boolean = grammars.contains(lang)
 
   /** Fraction of code-point characters inside comments (0.0 if no grammar). */
   def commentRatio(text: String, lang: String): Double = {

@@ -124,4 +124,23 @@ class CodeTaggersSpec extends AnyFunSuite {
     assert(scores("other_pct") == 1.0)
     assert(scores("other_entropy") == 0.0)
   }
+
+  test("code_starcoder_taggers_v1: nl_ratio for any known lang, -1 sentinel (code_taggers.py:189-226)") {
+    val t = graft.taggers.TaggerRegistry.resolve("code_starcoder_taggers_v1")
+    val py = "# a comment\nx = 1\n"
+    val spans = t.predict(py, Map("lang" -> "python", "max_stars_count" -> "7"))
+      .map(s => s.typ -> s.score).toMap
+    assert(spans("num_github_stars_doc") == 7.0)
+    assert(spans("has_xml_template_doc") == 0.0)
+    assert(spans("nl_ratio_doc") > 0.0 && spans("nl_ratio_doc") < 1.0)
+    assert(spans("code_to_text_ratio_html_doc") == 1.0)
+    // unknown language -> the reference's bare-except -1 sentinels
+    val unk = t.predict(py, Map("lang" -> "cobol"))
+      .map(s => s.typ -> s.score).toMap
+    assert(unk("nl_ratio_doc") == -1.0 && unk("code_to_text_ratio_html_doc") == -1.0)
+    // xml sniff over the first 100 chars
+    val xml = t.predict("<?xml version=\"1.0\"?><root/>", Map("lang" -> "python"))
+      .map(s => s.typ -> s.score).toMap
+    assert(xml("has_xml_template_doc") == 1.0)
+  }
 }
