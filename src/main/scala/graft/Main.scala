@@ -24,7 +24,9 @@ import scala.jdk.CollectionConverters._
   *   "input":   {"format": "parquet", "path": "...", "id": "id", "text": "content"},
   *   "taggers": ["gopher_v2", "pii_regex_with_counts_fast_v2"],
   *   "experiment": "exp",
-  *   "dedupe":  {"enabled": true},
+  *   "dedupe":  {"enabled": true, "mode": "documents|paragraphs|ngrams",
+  *               "attribute_name": "duplicate_paragraphs",
+  *               "ngram": {"length": 8, "stride": 0, "threshold": 0.7}},
   *   "filter":  {"include": [], "exclude": ["$.attributes.exp__...[0][2] > 0.5"]},
   *   "span_replacement": [{"span": "exp__...__EMAIL_ADDRESS", "min_score": 0.5,
   *                         "replacement": "[EMAIL]"}],
@@ -35,6 +37,10 @@ import scala.jdk.CollectionConverters._
   *   "ledger": "..."               // optional: resume checkpoint
   * }
   * }}}
+  *
+  * A top-level `{"streams": [cfg, cfg, ...]}` runs each stream config in
+  * sequence (the reference mixer's multi-stream YAML,
+  * src/shard.rs:533-546).
   */
 object Main {
 
@@ -49,7 +55,12 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try run(spark, cfg) finally spark.stop()
+    try {
+      Option(cfg.get("streams")) match {
+        case Some(streams) => streams.elements().asScala.foreach(run(spark, _))
+        case None => run(spark, cfg)
+      }
+    } finally spark.stop()
   }
 
   def run(spark: SparkSession, cfg: JsonNode): Unit = {
@@ -108,11 +119,41 @@ object Main {
       }
     }
 
-    // dedupe (exact, first occurrence)
-    val dedupEnabled = Option(cfg.get("dedupe")).exists(d =>
+    // dedupe: "documents" (exact first-occurrence flag), or the dolma
+    // attribute-emitting modes "paragraphs" / "ngrams" whose duplicate
+    // spans flow into the mixer like any other attribute (drop them with
+    // a span_replacement rule — the reference's dedupe->mix pipeline)
+    val dedupeNode = Option(cfg.get("dedupe"))
+    val dedupEnabled = dedupeNode.exists(d =>
       Option(d.get("enabled")).forall(_.asBoolean(true)))
-    var withAttrs = Mixer.mergeAttributes(docs, attrsForMerge.toSeq)
-    if (dedupEnabled) {
+    val dedupMode = dedupeNode.flatMap(d => Option(d.get("mode")).map(_.asText()))
+      .getOrElse("documents")
+    val dedupAttrName = dedupeNode.flatMap(d =>
+      Option(d.get("attribute_name")).map(_.asText()))
+      .getOrElse("duplicate_paragraphs")
+
+    val dedupAttr: Option[DataFrame] =
+      if (!dedupEnabled || dedupMode == "documents") None
+      else {
+        val spansDf = dedupMode match {
+          case "paragraphs" =>
+            graft.dedup.ReferenceDedup.paragraphDupSpans(
+              docs, col("id"), col("content"), col("__ord"))
+          case "ngrams" =>
+            val ng = dedupeNode.flatMap(d => Option(d.get("ngram")))
+            graft.dedup.ReferenceDedup.ngramDupSpans(
+              docs, col("id"), col("content"), col("__ord"),
+              ngramLength = ng.flatMap(n => Option(n.get("length")).map(_.asInt())).getOrElse(8),
+              stride = ng.flatMap(n => Option(n.get("stride")).map(_.asInt())).getOrElse(0),
+              overlapThreshold = ng.flatMap(n => Option(n.get("threshold")).map(_.asDouble())).getOrElse(0.7))
+          case other => sys.error(s"unknown dedupe mode: $other")
+        }
+        Some(spansDf.select(col("id"),
+          map(lit(dedupAttrName), col("spans")).as("attributes")))
+      }
+
+    var withAttrs = Mixer.mergeAttributes(docs, attrsForMerge.toSeq ++ dedupAttr)
+    if (dedupEnabled && dedupMode == "documents") {
       withAttrs = graft.dedup.Dedup.markDuplicates(
         withAttrs, sha2(col("content"), 256), col("__ord"))
     }
@@ -124,7 +165,8 @@ object Main {
         val s = n.asText()
         if (s == "is_duplicate") col("is_duplicate") else PredicateCompiler.compile(s)
       }.toSeq).getOrElse(Seq.empty)
-    val exclude = preds("exclude") ++ (if (dedupEnabled) Seq(col("is_duplicate")) else Nil)
+    val docDedup = dedupEnabled && dedupMode == "documents"
+    val exclude = preds("exclude") ++ (if (docDedup) Seq(col("is_duplicate")) else Nil)
 
     val replacements = Option(cfg.get("span_replacement")).map(_.elements().asScala.map { r =>
       Mixer.SpanReplacementRule(
@@ -145,11 +187,11 @@ object Main {
     // (Dataset.observe): zero extra evaluations of the pipeline
     val metricsOut = Option(cfg.get("metrics_output")).map(_.asText())
     val ruleNames = "total" +:
-      (if (dedupEnabled) Seq("dropped_duplicate") else Seq.empty)
+      (if (docDedup) Seq("dropped_duplicate") else Seq.empty)
     val rulesObs = new org.apache.spark.sql.Observation()
     if (metricsOut.isDefined) {
       val aggs = Metrics.ruleMetricExprs(
-        if (dedupEnabled) Seq("dropped_duplicate" -> col("is_duplicate"))
+        if (docDedup) Seq("dropped_duplicate" -> col("is_duplicate"))
         else Seq.empty)
       withAttrs = withAttrs.observe(rulesObs, aggs.head, aggs.tail: _*)
     }

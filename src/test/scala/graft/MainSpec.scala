@@ -67,4 +67,33 @@ class MainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out").count() == 0)
     assert(graft.operators.TagRunner.lastDocsTagged.get.value == 0L)
   }
+
+  test("dedupe mode=paragraphs: duplicate spans flow to the mixer scrub") {
+    val dir = Files.createTempDirectory("graft-main-para").toString
+    import spark.implicits._
+    Seq(
+      ("a", "unique alpha\nshared paragraph text\nmore alpha"),
+      ("b", "shared paragraph text\nunique beta"),
+      ("c", "all fresh\nnothing shared")
+    ).toDF("id", "content").write.parquet(s"$dir/input")
+
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input"},
+         |  "dedupe": {"enabled": true, "mode": "paragraphs",
+         |             "attribute_name": "dup_paras"},
+         |  "span_replacement": [
+         |    {"span": "dup_paras", "min_score": 0.5, "replacement": ""}],
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+
+    val out = spark.read.parquet(s"$dir/out")
+      .select("id", "content").as[(String, String)].collect().toMap
+    // first occurrence (doc a) keeps the paragraph; doc b loses it
+    assert(out("a").contains("shared paragraph text"))
+    assert(!out("b").contains("shared paragraph text"))
+    assert(out("b").contains("unique beta"))
+    assert(out("c") == "all fresh\nnothing shared")
+  }
 }
