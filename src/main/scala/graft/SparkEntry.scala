@@ -452,6 +452,22 @@ object SparkEntry {
 
     // LSH proposes candidates, an exact shingle-set Jaccard join verifies:
     // output depends only on shingle sets, so DuckDB can recompute it
+    // IVF coarse quantization: assignment of every embedding to its
+    // nearest seed centroid (first k vectors — k-means iteration 0, the
+    // only Lloyd step with bit-exact SQL replay; the full trainer is
+    // Ann.kmeansTrain, property-tested by monotone SSE)
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val seeds = e.orderBy(col("vec_id")).limit(4)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      e.select(col("vec_id"),
+          graft.similarity.Ann.ivfAssign(col("embedding"), seeds).as("cluster"))
+        .groupBy(col("cluster").cast("long").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("sum_ids"))
+        .orderBy(col("cluster"))
+    }),
+
     "dedup_minhash_pairs" -> ((s, dir) =>
       MinHashLSH.verifiedNearDuplicatePairs(docs(s, dir),
         col("doc_id").cast("string"), col("text"), k = 5, numPerms = 32,
@@ -1127,6 +1143,24 @@ object SparkEntry {
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b)
           |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      // nearest-seed assignment replayed: per-element L2 sums are
+      // sequential double arithmetic (bit-exact), argmin ties by index
+      "ann_ivf_kmeans" ->
+        """WITH s AS (SELECT embedding AS sv,
+          |    row_number() OVER (ORDER BY vec_id) - 1 AS idx
+          |  FROM embeddings ORDER BY vec_id LIMIT 4),
+          |d AS (SELECT e.vec_id, s.idx,
+          |    list_sum(list_transform(range(1, len(e.embedding)+1),
+          |      i -> (cast(e.embedding[i] AS DOUBLE) - cast(s.sv[i] AS DOUBLE))
+          |         * (cast(e.embedding[i] AS DOUBLE) - cast(s.sv[i] AS DOUBLE)))) AS dist
+          |  FROM embeddings e CROSS JOIN s),
+          |a AS (SELECT vec_id, idx,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, idx) AS rn
+          |  FROM d)
+          |SELECT cast(idx AS BIGINT) AS cluster, count(*) AS n,
+          |  cast(sum(vec_id) AS BIGINT) AS sum_ids
+          |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // verified-exact simhash pairs = text-equality self-join (recall 1
       // for identical texts by construction of the 4-block index)

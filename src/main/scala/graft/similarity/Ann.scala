@@ -83,15 +83,60 @@ object Ann {
       .limit(k)
   }
 
-  /** IVF coarse assignment: index of the nearest centroid (L2). Centroids
-    * are passed as literals (k-means init = deterministic sample rows). */
+  /** Distributed Lloyd's k-means over the embedding column: assignment is
+    * the [[ivfAssign]] Catalyst expression (narrow), the centroid update
+    * is `posexplode` → `groupBy(cluster, dim).avg` (one map-side-combined
+    * shuffle per iteration). Only k×dim doubles ever reach the driver —
+    * the model-parameter pattern, same as MLlib. Deterministic: seeds are
+    * the first k vectors in `idCol` order. */
+  def kmeansTrain(df: DataFrame, idCol: Column, vecCol: Column,
+      k: Int, iters: Int): Seq[Seq[Double]] = {
+    var centroids: Seq[Seq[Double]] = df.orderBy(idCol).limit(k)
+      .select(vecCol.cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    var it = 0
+    while (it < iters) {
+      val updated = df
+        .select(ivfAssign(vecCol, centroids).as("c"),
+          posexplode(vecCol.cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("c"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+      it += 1
+    }
+    centroids
+  }
+
+  /** Within-cluster sum of squared L2 distances for a given centroid set
+    * (k-means objective — must be non-increasing over Lloyd iterations). */
+  def kmeansSse(df: DataFrame, vecCol: Column, centroids: Seq[Seq[Double]]): Double = {
+    val dists = centroids.map { c =>
+      aggregate(
+        zip_with(vecCol, array(c.map(lit): _*),
+          (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.select(array_min(array(dists: _*)).as("d"))
+      .agg(sum(col("d"))).head().getDouble(0)
+  }
+
+  /** IVF coarse assignment: index of the nearest centroid (L2), ties to
+    * the lowest index (array_position finds the FIRST minimum). Centroids
+    * are passed as literals (k-means seeds = deterministic sample rows).
+    * Plain array ops — no named struct fields, which CleanupAliases
+    * strips when the expression shares a select with a generator. */
   def ivfAssign(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val dists = centroids.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(
+    val dists = array(centroids.map { c =>
+      aggregate(
         zip_with(vec, array(c.map(lit): _*), (a, b) => (a.cast("double") - b) * (a.cast("double") - b)),
         lit(0.0), (acc, x) => acc + x)
-      struct(d.as("dist"), lit(i).as("idx"))
-    }
-    array_min(array(dists: _*)).getField("idx")
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 }

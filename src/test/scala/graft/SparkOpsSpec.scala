@@ -138,6 +138,31 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(assigned == Map(1L -> 0, 2L -> 1, 3L -> 0))
   }
 
+  test("ANN: k-means trainer — SSE monotone non-increasing, deterministic, recovers planted clusters") {
+    import graft.similarity.Ann
+    // three well-separated planted clusters in 4-d
+    val rows = (0 until 90).map { i =>
+      val rng = new scala.util.Random(i)
+      val center = i % 3 match {
+        case 0 => Array(10f, 0f, 0f, 0f)
+        case 1 => Array(0f, 10f, 0f, 0f)
+        case _ => Array(0f, 0f, 10f, 0f)
+      }
+      (i.toLong, center.map(_ + rng.nextGaussian().toFloat * 0.1f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val c0 = Ann.kmeansTrain(df, col("vec_id"), col("embedding"), k = 3, iters = 0)
+    val c1 = Ann.kmeansTrain(df, col("vec_id"), col("embedding"), k = 3, iters = 1)
+    val c3 = Ann.kmeansTrain(df, col("vec_id"), col("embedding"), k = 3, iters = 3)
+    val sse = Seq(c0, c1, c3).map(Ann.kmeansSse(df, col("embedding"), _))
+    assert(sse(1) <= sse(0) && sse(2) <= sse(1))
+    // converged centroids land near the planted centers (one per cluster)
+    val recovered = c3.map(_.zipWithIndex.maxBy(_._1)._2).toSet
+    assert(recovered == Set(0, 1, 2))
+    // determinism
+    assert(c3 == Ann.kmeansTrain(df, col("vec_id"), col("embedding"), k = 3, iters = 3))
+  }
+
   test("ANN: brute force and LSH agree on the top hit for a planted vector") {
     val target = Seq.fill(8)(1.0)
     val rows = (1 to 40).map { i =>
