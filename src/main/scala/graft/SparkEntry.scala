@@ -695,6 +695,24 @@ object SparkEntry {
           col("might_contain").cast("long").as("might_contain"))
     }),
 
+    // sharded Bloom decontamination (the 100-TB path: one broadcast
+    // filter stops at ~1e9 keys; sharded filters cogroup with their
+    // probes, memory per task corpus-size-independent)
+    "dedup_bloom_sharded" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val keys = d.filter(col("doc_id") % 2 === 0)
+        .select(col("text")).as[String]
+      val filters = graft.dedup.DistributedBloom.buildSharded(
+        keys, 100000L, 1e-12, shards = 8)
+      val pairs = d.select(col("doc_id").cast("string"), col("text"))
+        .as[(String, String)]
+      graft.dedup.DistributedBloom.probeSharded(pairs, filters, shards = 8)
+        .toDF("doc_id", "might_contain")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("might_contain").cast("long").as("might_contain"))
+    }),
+
     // WARC ingestion end-to-end: wrap each doc's sanitized text in HTML,
     // pack real WARC response records (one .warc file per partition),
     // re-read via the record parser, linearize, and emit lengths the
@@ -1260,6 +1278,13 @@ object SparkEntry {
       // at fp=1e-12 the Bloom probe is exact membership in expectation
       // (<<1 expected FP at this scale; Verify asserts the equality)
       "dedup_bloom_probe" ->
+        """SELECT doc_id,
+          | CASE WHEN text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+          |  THEN 1 ELSE 0 END AS might_contain
+          |FROM documents""".stripMargin,
+
+      // same exact-membership semantics through the sharded path
+      "dedup_bloom_sharded" ->
         """SELECT doc_id,
           | CASE WHEN text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
           |  THEN 1 ELSE 0 END AS might_contain

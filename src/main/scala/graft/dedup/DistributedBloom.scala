@@ -44,4 +44,52 @@ object DistributedBloom {
     val bcast = spark.sparkContext.broadcast(bf)
     df.map { case (id, key) => (id, bcast.value.mightContainString(key)) }
   }
+
+  // ---- sharded mode ----------------------------------------------------
+  // One broadcast filter stops scaling around 1e9 keys (2.4 GB at FP 1e-4
+  // per the sizing law above). Sharded mode hash-partitions the key space
+  // into independent filters and CO-GROUPS probes with their shard's
+  // filter: an executor only ever materializes the filters of the shards
+  // it processes — memory per task is corpus-size-independent, and the
+  // probe is one shuffle on the shard id.
+
+  @inline def shardOf(key: String, shards: Int): Int =
+    (key.hashCode & 0x7fffffff) % shards
+
+  /** Build `shards` independent filters, each sized for its share of the
+    * keys. Returns (shard, serialized filter) — a table small enough to
+    * persist/reuse across decontamination runs. */
+  def buildSharded(keys: Dataset[String], expectedItems: Long, fpRate: Double,
+      shards: Int): Dataset[(Int, Array[Byte])] = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val perShard = math.max(64L, expectedItems / shards)
+    keys.rdd.map(k => (shardOf(k, shards), k))
+      .aggregateByKey(BloomFilter.create(perShard, fpRate), shards)(
+        seqOp = (bf, k) => { bf.putString(k); bf },
+        combOp = (a, b) => { a.mergeInPlace(b); a })
+      .map { case (s, bf) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (s, bos.toByteArray)
+      }.toDS()
+  }
+
+  /** Probe (id, key) rows against a sharded filter table: both sides
+    * shuffle once on the shard id; each task deserializes exactly its
+    * shard's filter. */
+  def probeSharded(df: Dataset[(String, String)],
+      filters: Dataset[(Int, Array[Byte])], shards: Int): Dataset[(String, Boolean)] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.map { case (id, key) => (shardOf(key, shards), id, key) }
+      .groupByKey(_._1)
+      .cogroup(filters.groupByKey(_._1)) { (_, rows, bfs) =>
+        val bf = bfs.toSeq.headOption.map(b =>
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(b._2)))
+        rows.map { case (_, id, key) =>
+          (id, bf.exists(_.mightContainString(key)))
+        }
+      }
+  }
 }
