@@ -663,9 +663,21 @@ object SparkEntry {
     }),
 
     "multimodal_features" -> ((s, _) =>
-      graft.multimodal.Multimodal.extractFeatures(
-        graft.multimodal.Multimodal.syntheticMedia(s, 200L))
-        .select(col("id"), col("media_type"), col("width"), col("height"), col("n_frames"))),
+      graft.multimodal.Multimodal.resizePlan(
+        graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.syntheticMedia(s, 200L)), maxDim = 256)
+        .select(col("id"), col("media_type"), col("width"), col("height"),
+          col("n_frames"), col("out_width"), col("out_height"))),
+
+    // frame sampling over the synthetic video containers: per-video
+    // sampled-frame counts and byte sizes are pure arithmetic on the row
+    // id (every 4th of 1+(i*29)%64 frames, body 119 bytes split evenly)
+    "multimodal_frame_sample" -> ((s, _) =>
+      graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.syntheticMedia(s, 200L), everyN = 4)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(length(col("frame_bytes"))).as("sum_bytes"))),
 
     "mixer_predicate_compiler" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
@@ -1355,12 +1367,28 @@ object SparkEntry {
       // the decoder reads dimensions from the deterministic GRFT container
       // header, so the metadata columns are pure arithmetic on the row id
       "multimodal_features" ->
-        """SELECT 'm' || i AS id,
-          | CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-          | cast(64 + (i * 37) % 512 AS INT) AS width,
-          | cast(64 + (i * 53) % 512 AS INT) AS height,
-          | cast(CASE WHEN i % 3 = 2 THEN 1 + (i * 29) % 64 ELSE 1 END AS INT) AS n_frames
-          |FROM range(200) t(i)""".stripMargin
+        """WITH f AS (SELECT 'm' || i AS id,
+          |  CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |  cast(64 + (i * 37) % 512 AS INT) AS width,
+          |  cast(64 + (i * 53) % 512 AS INT) AS height,
+          |  cast(CASE WHEN i % 3 = 2 THEN 1 + (i * 29) % 64 ELSE 1 END AS INT) AS n_frames
+          | FROM range(200) t(i))
+          |SELECT id, media_type, width, height, n_frames,
+          | cast(CASE WHEN greatest(width, height) <= 256 THEN width
+          |   ELSE (width * 256) // greatest(width, height) END AS INT) AS out_width,
+          | cast(CASE WHEN greatest(width, height) <= 256 THEN height
+          |   ELSE (height * 256) // greatest(width, height) END AS INT) AS out_height
+          |FROM f""".stripMargin,
+
+      // every-4th-frame sampling: 1+(i*29)%64 frames, 119-byte body split
+      // into floor(119/frames)-byte slices
+      "multimodal_frame_sample" ->
+        """WITH v AS (SELECT 'm' || i AS id, 1 + (i * 29) % 64 AS frames
+          |  FROM range(200) t(i) WHERE i % 3 = 2)
+          |SELECT id,
+          | cast((frames - 1) // 4 + 1 AS BIGINT) AS n_sampled,
+          | cast(((frames - 1) // 4 + 1) * greatest(119 // frames, 1) AS BIGINT) AS sum_bytes
+          |FROM v""".stripMargin
     ).map { case (k, v) => k -> v.replace("\n", " ") }
   }
 }

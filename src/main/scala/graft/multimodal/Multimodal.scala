@@ -82,6 +82,50 @@ object Multimodal {
     }(enc)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("frame_index", IntegerType, nullable = false),
+    StructField("frame_bytes", BinaryType)))
+
+  /** Frame sampling over video payloads: per-partition decoder init, every
+    * `everyN`th frame emitted with its byte range sliced from the
+    * container body — the plumbing a real video pipeline needs (schema,
+    * batch shape, partition-level codec reuse); the codec itself stays
+    * behind [[MediaDecoder]]. */
+  def sampleFrames(media: DataFrame, everyN: Int,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select("id", "media_type", "format", "payload").mapPartitions { rows =>
+      val d = decoder
+      rows.filter(_.getString(1) == "video").flatMap { r =>
+        val payload = if (r.isNullAt(3)) Array.emptyByteArray else r.getAs[Array[Byte]](3)
+        val (_, _, frames, _) = d.decode(r.getString(1), r.getString(2), payload)
+        val body = if (payload.length > 9) payload.drop(9) else payload
+        val per = math.max(1, body.length / math.max(frames, 1))
+        (0 until frames by everyN).iterator.map { f =>
+          val from = math.min(f * per, body.length)
+          val until = math.min((f + 1) * per, body.length)
+          Row(r.getString(0), f, java.util.Arrays.copyOfRange(body, from, until))
+        }
+      }
+    }(enc)
+  }
+
+  /** Resize planning as pure Catalyst integer arithmetic (no UDF): target
+    * dimensions capped at `maxDim` preserving aspect ratio via exact
+    * floor division — the planner-side half of a resize; pixel work is
+    * decoder-side. */
+  def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
+    val mx = greatest(col("width"), col("height"))
+    features
+      .withColumn("out_width",
+        when(mx <= maxDim, col("width"))
+          .otherwise(floor(col("width") * maxDim / mx)).cast("int"))
+      .withColumn("out_height",
+        when(mx <= maxDim, col("height"))
+          .otherwise(floor(col("height") * maxDim / mx)).cast("int"))
+  }
+
   /** Deterministic synthetic media table for tests/bench: each payload is
     * a "GRFT" container — 9-byte header (magic, u16 width = 64+(i*37)%512,
     * u16 height = 64+(i*53)%512, u8 frames = video ? 1+(i*29)%64 : 1)
