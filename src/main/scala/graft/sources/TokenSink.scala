@@ -76,7 +76,8 @@ object TokenSink {
     val shards =
       if (numShards > 0) numShards
       else {
-        val total = prepared.agg(sum(size(col("toks")))).head().getLong(0)
+        val row = prepared.agg(sum(size(col("toks")))).head()
+        val total = if (row.isNullAt(0)) 0L else row.getLong(0)
         math.max(1, math.ceil(total.toDouble / targetTokensPerShard).toInt)
       }
     val bpt = bytesPerToken
