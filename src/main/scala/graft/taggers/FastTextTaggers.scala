@@ -126,8 +126,7 @@ final class LanguageTagger(
     paragraphs: Boolean,
     includeNegative: Boolean,
     enFilter: Boolean = false,
-    minScore: Double = 0.0,
-    round2: Boolean = false,
+    minScore: Double = 0.0, // 1e2 variant: filter raw, then round to 2dp
     docScoreRollup: Boolean = false) extends Tagger {
 
   private lazy val m = model
@@ -285,7 +284,7 @@ object FastTextTaggers {
     // third-party engines (scoped out per SURVEY)
     TaggerRegistry.register("ft_lang_id_1e2")(
       new LanguageTagger("ft_lang_id_1e2", graft.Models.langId,
-        paragraphs = false, includeNegative = false, minScore = 0.01, round2 = true))
+        paragraphs = false, includeNegative = false, minScore = 0.01))
     TaggerRegistry.register("ft_lang_id_paragraph_v1")(
       new LanguageTagger("ft_lang_id_paragraph_v1", graft.Models.langId,
         paragraphs = true, includeNegative = false))

@@ -377,8 +377,7 @@ object AbpBlocker {
       p = found
       i += 1
     }
-    !endAnchor || p == url.length ||
-      (segs.last.endsWith("^") && p == url.length)
+    !endAnchor || p == url.length
   }
 
   def matches(r: Rule, url: String): Boolean = {
