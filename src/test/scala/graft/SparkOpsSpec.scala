@@ -21,6 +21,32 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false, 5L -> false))
   }
 
+  test("paragraph dedup (hashed shuffle keys) fuzz vs brute-force first-occurrence model") {
+    // seeded random corpora with heavy paragraph reuse; the 96-bit-hash
+    // window must agree exactly with a naive in-memory walk in doc order
+    val rng = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "beta", "gamma", "", "shared line", "x y z", "beta")
+    val docsData = (0 until 60).map { i =>
+      val nParas = 1 + rng.nextInt(5)
+      (i.toLong, (0 until nParas).map(_ => vocab(rng.nextInt(vocab.length))).mkString("\n"))
+    }
+    val expected = {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      docsData.flatMap { case (id, text) =>
+        text.split("\n", -1).zipWithIndex.map { case (p, idx) =>
+          val dup = p.trim.nonEmpty && !seen.add(p)
+          ((id, idx), dup)
+        }
+      }.toMap
+    }
+    val out = Dedup.paragraphDuplicates(
+      docsData.toDF("id", "text"), col("id"), col("text"), col("id"))
+      .select(col("id"), col("para_index"), col("is_duplicate"))
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (id, idx, d) => ((id, idx), d) }.toMap
+    assert(out == expected)
+  }
+
   test("paragraph dedup marks re-seen paragraphs across docs") {
     val df = Seq(
       (1L, "alpha\nshared para\nbeta"),
