@@ -1212,7 +1212,7 @@ object SparkEntry {
           |FROM documents""".stripMargin,
 
       // toxicity: planted toxic tail on doc_id % 7 == 0; the in-repo
-      // classifier separates cleanly at the 0.3 doc-rollup threshold
+      // classifier separates cleanly at the 0.7 doc-rollup threshold
       // (verified at sf0.01 and sf0.1)
       "tag_toxicity_ft" ->
         """SELECT doc_id,

@@ -100,7 +100,12 @@ object Multimodal {
       rows.filter(_.getString(1) == "video").flatMap { r =>
         val payload = if (r.isNullAt(3)) Array.emptyByteArray else r.getAs[Array[Byte]](3)
         val (_, _, frames, _) = d.decode(r.getString(1), r.getString(2), payload)
-        val body = if (payload.length > 9) payload.drop(9) else payload
+        // Only strip the 9-byte container header when it is actually present
+        // (same GRFT magic check the decoder uses); headerless payloads keep
+        // their byte ranges aligned with the decoder's frame count.
+        val hasHeader = payload.length >= 9 && payload(0) == 'G' &&
+          payload(1) == 'R' && payload(2) == 'F' && payload(3) == 'T'
+        val body = if (hasHeader) payload.drop(9) else payload
         val per = math.max(1, body.length / math.max(frames, 1))
         (0 until frames by everyN).iterator.map { f =>
           val from = math.min(f * per, body.length)
