@@ -41,6 +41,14 @@ import scala.jdk.CollectionConverters._
   * A top-level `{"streams": [cfg, cfg, ...]}` runs each stream config in
   * sequence (the reference mixer's multi-stream YAML,
   * src/shard.rs:533-546).
+  *
+  * Resume semantics: with a `ledger`, completed input files are skipped
+  * and their output is left untouched; a resumed run appends only the
+  * pending files' output (exactly-once at file grain). Note the exact
+  * first-occurrence dedup window sees only the files of ONE run — for
+  * cross-run dedup state use the sharded Bloom path
+  * ([[graft.dedup.DistributedBloom]]), which persists like the
+  * reference's Bloom file does.
   */
 object Main {
 
@@ -82,9 +90,21 @@ object Main {
     val allFiles = raw0.inputFiles.toSeq.sorted
     val doneKeys = ledger.map(_.completedKeySet()).getOrElse(Set.empty[String])
     val pendingFiles = allFiles.filterNot(doneKeys)
+    // Fully resumed run: every input file is already committed in the
+    // ledger. Leave the completed output UNTOUCHED (the reference's
+    // skip-if-exists semantics, src/mixer.rs:21-25) — re-running the
+    // pipeline here would overwrite prior output with an empty write.
+    if (ledger.isDefined && pendingFiles.isEmpty) return
+    // Partial resume: completed files' output already exists on disk, so
+    // this run's writes must APPEND; the ledger guarantees each input
+    // file is processed exactly once across runs, keeping append
+    // exactly-once at file grain.
+    val resuming = doneKeys.nonEmpty
+    val saveMode =
+      if (resuming) org.apache.spark.sql.SaveMode.Append
+      else org.apache.spark.sql.SaveMode.Overwrite
     val raw =
       if (pendingFiles.size == allFiles.size) raw0
-      else if (pendingFiles.isEmpty) raw0.where(lit(false)) // empty, schema kept
       else {
         val rd = spark.read.schema(raw0.schema)
         if (inFormat == "jsonl") rd.json(pendingFiles: _*)
@@ -113,8 +133,12 @@ object Main {
     val attrsForMerge = attrs.map { a =>
       Option(cfg.get("attributes_output")) match {
         case Some(p) =>
-          a.write.mode("overwrite").parquet(p.asText())
-          spark.read.parquet(p.asText())
+          a.write.mode(saveMode).parquet(p.asText())
+          // merge only THIS run's attribute rows (the pending files'
+          // docs); on resume the attrs table also holds prior runs' rows
+          val all = spark.read.parquet(p.asText())
+          if (resuming) all.join(docs.select(col("id")), Seq("id"), "left_semi")
+          else all
         case None => a
       }
     }
@@ -206,8 +230,9 @@ object Main {
     val outPath = out.get("path").asText()
     val outFormat = opt(out, "format").getOrElse("parquet")
     outFormat match {
-      case "jsonl" => graft.sources.Jsonl.writeDocuments(mixed, outPath)
-      case _ => mixed.write.mode("overwrite").parquet(outPath)
+      case "jsonl" =>
+        graft.sources.Jsonl.writeDocuments(mixed, outPath, mode = saveMode)
+      case _ => mixed.write.mode(saveMode).parquet(outPath)
     }
     val rowsWritten = rowsObs.get.get("rows_written") match {
       case Some(n: Number) => n.longValue()

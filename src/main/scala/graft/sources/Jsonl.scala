@@ -67,6 +67,7 @@ object Jsonl {
   }
 
   /** Write documents in dolma format. */
-  def writeDocuments(docs: DataFrame, path: String, codec: String = "gzip"): Unit =
-    docs.write.mode("overwrite").option("compression", codec).json(path)
+  def writeDocuments(docs: DataFrame, path: String, codec: String = "gzip",
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
+    docs.write.mode(mode).option("compression", codec).json(path)
 }

@@ -61,11 +61,46 @@ class MainSpec extends AnyFunSuite {
     val nInputFiles = spark.read.parquet(s"$dir/input").inputFiles.length
     assert(ledger.count() == nInputFiles)
 
-    // resume: second run sees everything completed → writes 0 rows and
-    // tags 0 documents (zero I/O on completed shards)
+    // resume: second run sees everything completed → skips entirely,
+    // PRESERVING the completed output (no overwrite-with-empty) and doing
+    // zero tagging work (the accumulator from run 1 is untouched)
+    val accBefore = graft.operators.TagRunner.lastDocsTagged.get
     Main.run(spark, cfg)
-    assert(spark.read.parquet(s"$dir/out").count() == 0)
-    assert(graft.operators.TagRunner.lastDocsTagged.get.value == 0L)
+    assert(spark.read.parquet(s"$dir/out").count() == n1)
+    assert(graft.operators.TagRunner.lastDocsTagged.get eq accBefore)
+    assert(accBefore.value == 200L)
+  }
+
+  test("partial resume: new input files append; completed files' output kept") {
+    val dir = Files.createTempDirectory("graft-main-resume").toString
+    Seq(("a", "alpha text here"), ("b", "beta text here"))
+      .toDF("id", "content").repartition(1).write.parquet(s"$dir/input")
+
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input"},
+         |  "taggers": ["char_length_v1"],
+         |  "experiment": "e",
+         |  "output": {"path": "$dir/out", "format": "parquet"},
+         |  "attributes_output": "$dir/attrs",
+         |  "ledger": "$dir/ledger"
+         |}""".stripMargin
+    val cfg = new com.fasterxml.jackson.databind.ObjectMapper().readTree(config)
+    Main.run(spark, cfg)
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+
+    // a new input file arrives; the resumed run processes ONLY it and
+    // appends — prior output survives, nothing is double-processed
+    Seq(("c", "gamma text here")).toDF("id", "content")
+      .repartition(1).write.mode("append").parquet(s"$dir/input")
+    Main.run(spark, cfg)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3)
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("a", "b", "c"))
+    assert(graft.operators.TagRunner.lastDocsTagged.get.value == 1L)
+    val attrs = spark.read.parquet(s"$dir/attrs")
+    assert(attrs.count() == 3)
+    assert(attrs.select("id").distinct().count() == 3)
   }
 
   test("dedupe mode=paragraphs: duplicate spans flow to the mixer scrub") {
