@@ -60,14 +60,11 @@ object Analyzer {
     def outputEncoder: Encoder[Map[Long, Long]] = Encoders.kryo[Map[Long, Long]]
   }
 
-  /** Top-k n-grams (wimbd counter, /root/reference/src/wimbd/ngrams/):
-    * flatMap n-grams → count → global top-k. The orderBy.limit(k) compiles
-    * to TakeOrderedAndProject (per-partition heaps + driver merge), which
-    * is the distributed form of wimbd's fixed-size topk heap. */
-  def topKNgrams(df: DataFrame, textCol: Column, n: Int, k: Int): DataFrame = {
-    // materialize the token array BEFORE the per-gram lambda: a lambda body
-    // referencing an unbound tokenization would re-split the text once per
-    // gram (O(words^2) per row)
+  /** Exploded n-gram column `ngram` over `textCol` (lowercased,
+    * whitespace-tokenized). The token array is materialized BEFORE the
+    * per-gram lambda: a lambda body referencing an unbound tokenization
+    * would re-split the text once per gram (O(words^2) per row). */
+  private def explodedNgrams(df: DataFrame, textCol: Column, n: Int): DataFrame = {
     val withToks = df.select(
       filter(split(lower(textCol), "\\s+"), t => t =!= "").as("__toks"))
     val toks = col("__toks")
@@ -75,9 +72,65 @@ object Analyzer {
     val ngrams = when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(n)))))
     withToks.select(explode(ngrams).as("ngram"))
-      .groupBy(col("ngram"))
+  }
+
+  /** Top-k n-grams (wimbd counter, /root/reference/src/wimbd/ngrams/).
+    *
+    * Scale shape: counting shuffles only a 128-bit gram hash
+    * (xxhash64 + murmur3 — 16 bytes/distinct gram after map-side
+    * combine), never the gram strings (corpus-sized at 100 TB for a
+    * top-20 answer). The winning hashes — everything tied with or above
+    * the k-th count, a set of O(k) in non-degenerate corpora — are
+    * resolved back to strings by a second filtered pass whose string
+    * groupBy only ever sees candidate grams; ties then break exactly on
+    * the string, matching the oracle's ORDER BY cnt DESC, ngram.
+    *
+    * The hash pair can only merge distinct grams at ~2^-96, and a merge
+    * can only inflate a candidate-selection count (the resolve pass
+    * recounts exactly on strings), so the result is exact w.p.
+    * 1 - 2^-96 — stronger than the reference wimbd counter, which counts
+    * into a lossy fixed-size array (`ngrams/counter.rs`). */
+  def topKNgrams(df: DataFrame, textCol: Column, n: Int, k: Int): DataFrame = {
+    val grams = explodedNgrams(df, textCol, n)
+    val keyed = grams.select(
+      xxhash64(col("ngram")).as("h1"), hash(col("ngram")).as("h2"))
+    val counts = keyed.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("ngram"))
-      .limit(k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // k-th highest count (TakeOrderedAndProject: per-partition heaps)
+      val kthRow = counts.orderBy(col("cnt").desc).limit(k)
+        .agg(min(col("cnt"))).collect()(0)
+      if (kthRow.isNullAt(0))
+        return grams.groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      val kth = kthRow.getLong(0)
+      // all hash pairs tied with or above the boundary — O(k) rows to the
+      // driver; a corpus where >50k·k grams tie at the k-th count has no
+      // meaningful top-k and is rejected rather than silently truncated
+      val maxCand = math.max(50000 * k, 100000)
+      val cand = counts.filter(col("cnt") >= kth)
+        .select(col("h1"), col("h2")).limit(maxCand).collect()
+      require(cand.length < maxCand,
+        s"top-$k n-grams: >$maxCand grams tie at the k-th count boundary")
+      val spark = df.sparkSession
+      val candDf = spark.createDataFrame(
+        java.util.Arrays.asList(cand: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h1",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("h2",
+            org.apache.spark.sql.types.IntegerType))))
+      // resolve pass: only candidate grams survive the broadcast semi-join
+      // into the string groupBy
+      grams
+        .join(broadcast(candDf),
+          xxhash64(col("ngram")) === col("h1") &&
+            hash(col("ngram")) === col("h2"),
+          "left_semi")
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(k)
+    } finally counts.unpersist(blocking = false)
   }
 }
