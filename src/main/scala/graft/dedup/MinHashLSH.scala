@@ -82,12 +82,23 @@ object MinHashLSH {
     * the residual error is the banding miss probability (1-s^r)^b per
     * pair at similarity s — ~1e-2 at s=0.5 and ~1e-7 at s=0.8 with
     * b=16, r=2. Scale shape: candidate pairs are tiny relative to the
-    * corpus, so the two text-fetch joins broadcast the pair list. */
+    * corpus, so the two text-fetch joins broadcast the pair list.
+    *
+    * Candidates are prefiltered on estimated Jaccard at
+    * `minJaccard - estSlack` before any text is fetched: at 100 TB the
+    * raw bucket-collision pair set is far larger than the near-dup set,
+    * and without the prefilter every colliding pair flows into two text
+    * joins. The slack absorbs minhash estimation error — with 32 perms
+    * the estimator's std at s=0.5 is sqrt(s(1-s)/32) ≈ 0.088, so 0.15 is
+    * ~1.7σ; pairs the prefilter drops are overwhelmingly true negatives
+    * the exact join would have discarded anyway. */
   def verifiedNearDuplicatePairs(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, numPerms: Int = 32, bands: Int = 16,
-      minJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      minJaccard: Double = 0.5, maxBucketSize: Int = 1000,
+      estSlack: Double = 0.15): DataFrame = {
     val cand = nearDuplicatePairs(df, idCol, textCol, k, numPerms, bands,
-      minJaccard = 0.0, maxBucketSize = maxBucketSize)
+      minJaccard = math.max(0.0, minJaccard - estSlack),
+      maxBucketSize = maxBucketSize)
       .select(col("id_a"), col("id_b"))
     val texts = df.select(idCol.as("__tid"), textCol.as("__ttext"))
     cand
