@@ -273,26 +273,51 @@ object SparkEntry {
           ("whitespace_tokenizer_v1", "length", "ws_segments")),
         asLong = Set("char_len", "char_len_strip", "byte_len", "ws_segments"))),
 
-    "tag_gopher" -> ((s, dir) =>
-      tagged(s, dir, Seq("gopher_v2"),
-        Seq(
-          ("gopher_v2", "word_count", "word_count"),
-          ("gopher_v2", "median_word_length", "median_word_length"),
-          ("gopher_v2", "symbol_to_word_ratio", "symbol_to_word_ratio"),
-          ("gopher_v2", "fraction_of_words_with_alpha_character", "frac_alpha"),
-          ("gopher_v2", "required_word_count", "required_word_count"),
-          ("gopher_v2", "fraction_of_duplicate_lines", "frac_dup_lines")),
-        asLong = Set("word_count", "required_word_count"))),
+    // multi-line text is synthesized (same trick as tag_c4_spans) so the
+    // duplicate-line attributes are exercised NON-trivially: " dup "
+    // markers become standalone "dup" lines, and a third of the docs get
+    // an explicitly repeated line appended
+    "tag_gopher" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
+        .withColumn("text2", concat(
+          regexp_replace(col("text"), " dup ", "\ndup\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("\nrepeated trailer line\nrepeated trailer line"))
+            .otherwise(lit(""))))
+      val attrs = TagRunner.tag(d, Seq("gopher_v2"), "t", idCol = "id",
+        textCol = "text2", roundScores = false)
+      def sc(typ: String) =
+        TagRunner.attrScore(graft.core.Attributes.mangle("t", "gopher_v2", typ))
+      attrs.select(
+        col("id").cast("long").as("doc_id"),
+        sc("word_count").cast("long").as("word_count"),
+        sc("median_word_length").as("median_word_length"),
+        sc("symbol_to_word_ratio").as("symbol_to_word_ratio"),
+        sc("fraction_of_words_with_alpha_character").as("frac_alpha"),
+        sc("required_word_count").cast("long").as("required_word_count"),
+        sc("fraction_of_duplicate_lines").as("frac_dup_lines"),
+        sc("fraction_of_characters_in_duplicate_lines").as("frac_dup_chars"))
+    }),
 
+    // naughty-word coverage: plant real entries from the vendored
+    // reference list (a phrase, a word, and a word-level MISS with
+    // trailing punctuation) — the oracle recomputes from the full list,
+    // so accidental hits in the base text are also covered exactly
     "tag_c4" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
-      val attrs = TagRunner.tag(d, Seq("c4_v2"), "t", idCol = "id", textCol = "text",
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" Alabama hot pocket"))
+            .when(col("doc_id") % 7 === 0, lit(" anus"))
+            .when(col("doc_id") % 11 === 0, lit(" anus,"))
+            .otherwise(lit(""))))
+      val attrs = TagRunner.tag(d, Seq("c4_v2"), "t", idCol = "id", textCol = "text2",
         roundScores = false)
       attrs.select(
         col("id").cast("long").as("doc_id"),
         size(TagRunner.attrSpans("t__c4_v2__has_curly_brace")).cast("long").as("has_curly"),
         size(TagRunner.attrSpans("t__c4_v2__has_lorem_ipsum")).cast("long").as("has_lorem"),
         size(TagRunner.attrSpans("t__c4_v2__has_javascript")).cast("long").as("has_js"),
+        size(TagRunner.attrSpans("t__c4_v2__has_naughty_word")).cast("long").as("has_naughty"),
         TagRunner.attrScore("t__c4_v2__line_count").cast("long").as("line_count"),
         size(TagRunner.attrSpans("t__c4_v2__lines_with_too_few_words")).cast("long").as("short_lines"),
         size(TagRunner.attrSpans("t__c4_v2__lines_with_no_ending_punctuation")).cast("long").as("unpunct_lines"))
@@ -960,12 +985,34 @@ object SparkEntry {
            | len(regexp_extract_all(text, '$tokenRe')) + 1 AS ws_segments
            |FROM documents""".stripMargin,
 
+      // gopher_v2 line split = re.split('\n+', text); duplicate-line
+      // fractions: dup line occurrences / line count and dup line chars /
+      // WORD-char sum (the reference reassigns character_count to the
+      // word-length sum before the line section — gopher.py:148,196-199)
       "tag_gopher" ->
-        s"""WITH w AS (
-           | SELECT doc_id, $wordsSql AS wl,
-           |  list_sort(list_transform($wordsSql, x -> length(x))) AS lens
-           | FROM documents)
-           |SELECT doc_id,
+        s"""WITH t AS (SELECT doc_id,
+           |  replace(text, ' dup ', chr(10) || 'dup' || chr(10)) ||
+           |  CASE WHEN doc_id % 3 = 0 THEN
+           |    chr(10) || 'repeated trailer line' || chr(10) || 'repeated trailer line'
+           |  ELSE '' END AS text2
+           |  FROM documents),
+           |w AS (
+           | SELECT doc_id,
+           |  list_filter(string_split_regex(text2, '\\s+'), x -> x <> '') AS wl
+           | FROM t),
+           |base AS (
+           | SELECT doc_id, wl,
+           |  list_sort(list_transform(wl, x -> length(x))) AS lens,
+           |  coalesce(list_sum(list_transform(wl, x -> length(x))), 0) AS char_cnt
+           | FROM w),
+           |l AS (SELECT doc_id, unnest(string_split_regex(text2, '\\n+')) AS line FROM t),
+           |lc AS (SELECT doc_id, line, count(*) AS c FROM l GROUP BY 1, 2),
+           |dl AS (SELECT doc_id,
+           |  sum(c) AS line_count,
+           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_lines,
+           |  sum(CASE WHEN c > 1 THEN length(line) * c ELSE 0 END) AS dup_chars
+           | FROM lc GROUP BY 1)
+           |SELECT b.doc_id,
            | len(wl) AS word_count,
            | CASE WHEN len(wl) = 0 THEN 0.0 ELSE
            |  (lens[cast((len(wl)+1)//2 AS INT)] + lens[cast(len(wl)//2+1 AS INT)]) / 2.0 END
@@ -976,22 +1023,39 @@ object SparkEntry {
            |  / greatest(len(wl), 1) AS frac_alpha,
            | len(list_filter(wl, x -> x IN ('the','be','to','of','and','that','have','with')))
            |  AS required_word_count,
-           | cast(0.0 AS DOUBLE) AS frac_dup_lines
-           |FROM w""".stripMargin,
+           | cast(dup_lines AS DOUBLE) / greatest(line_count, 1) AS frac_dup_lines,
+           | cast(dup_chars AS DOUBLE) / greatest(char_cnt, 1) AS frac_dup_chars
+           |FROM base b JOIN dl USING (doc_id)""".stripMargin,
 
-      "tag_c4" ->
-        """WITH l AS (SELECT doc_id, lower(text) AS lt,
-          |            string_split(lower(text), chr(10)) AS lines FROM documents)
+      "tag_c4" -> {
+        // the FULL vendored reference list, replayed in SQL: single words
+        // at word level, multi-word phrases as substrings (c4.py:64-65)
+        val nwList = graft.taggers.RefData.naughtyWords.toSeq.sorted
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        val npList = graft.taggers.RefData.naughtyPhrases
+          .map(p => s"'$p'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text ||
+          |       CASE WHEN doc_id % 5 = 0 THEN ' Alabama hot pocket'
+          |            WHEN doc_id % 7 = 0 THEN ' anus'
+          |            WHEN doc_id % 11 = 0 THEN ' anus,' ELSE '' END AS text2
+          |     FROM documents),
+          |l AS (SELECT doc_id, lower(text2) AS lt,
+          |            string_split(lower(text2), chr(10)) AS lines FROM t)
           |SELECT doc_id,
           | CASE WHEN contains(lt, '{') THEN 1 ELSE 0 END AS has_curly,
           | CASE WHEN contains(lt, 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem,
           | CASE WHEN contains(lt, 'javascript') THEN 1 ELSE 0 END AS has_js,
+          | CASE WHEN list_has_any(
+          |        list_filter(string_split_regex(lt, '\\s+'), x -> x <> ''), $nwList)
+          |      OR len(list_filter($npList, p -> contains(lt, p))) > 0
+          |      THEN 1 ELSE 0 END AS has_naughty,
           | len(lines) AS line_count,
           | len(list_filter(lines, x ->
-          |   len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) < 3)) AS short_lines,
+          |   len(list_filter(string_split_regex(x, '\\s+'), y -> y <> '')) < 3)) AS short_lines,
           | len(list_filter(lines, x -> NOT (
           |   trim(x) LIKE '%.' OR trim(x) LIKE '%?' OR trim(x) LIKE '%!' OR trim(x) LIKE '%"'))) AS unpunct_lines
-          |FROM l""".stripMargin,
+          |FROM l""".stripMargin
+      },
 
       "tag_c4_spans" ->
         """WITH t AS (SELECT doc_id, replace(text, ' dup ', chr(10) || 'dup' || chr(10)) AS text2

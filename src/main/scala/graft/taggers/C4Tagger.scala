@@ -7,9 +7,10 @@ import graft.core.{CodePoints, Span, TextSplit}
   * `c4_v1` (c4.py:44-84): per-line spans with offset bookkeeping — a line's
   * span covers its trailing newline except for the last line.
   * `c4_v2` (c4.py:87-127): the faster variant with doc-level booleans over
-  * the lowercased text. The naughty-word list is file-loaded in the
-  * reference (c4.py:10-13); here a small built-in set with the same lookup
-  * semantics (word-level for single words, substring for phrases).
+  * the lowercased text. The naughty-word list is the reference's own
+  * data/naughty_words_en.txt, vendored and loaded the same way
+  * (c4.py:10-13): word-level lookup for single words, substring for
+  * multi-word phrases.
   */
 final class C4Tagger(fast: Boolean, naughtyWords: Set[String], naughtyPhrases: Seq[String])
     extends Tagger {
@@ -94,9 +95,11 @@ final class C4Tagger(fast: Boolean, naughtyWords: Set[String], naughtyPhrases: S
 }
 
 object C4Tagger {
-  /** Stand-in blocklist (the reference loads data/naughty_words_en.txt). */
-  val DefaultNaughtyWords: Set[String] = Set("naughtyword", "badword")
-  val DefaultNaughtyPhrases: Seq[String] = Seq("very naughty phrase")
+  /** The reference's own blocklist (data/naughty_words_en.txt, vendored —
+    * see [[RefData]]): 279 single words matched at word level, 124
+    * multi-word phrases matched as substrings. */
+  def DefaultNaughtyWords: Set[String] = RefData.naughtyWords
+  def DefaultNaughtyPhrases: Seq[String] = RefData.naughtyPhrases
 
   def registerAll(): Unit = {
     TaggerRegistry.register("c4_v1")(

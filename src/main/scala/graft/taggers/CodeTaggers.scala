@@ -124,6 +124,18 @@ object CodeTaggers {
     }
   }
 
+  /** Language routing for the StarCoder taggers: `metadata.ext` resolved
+    * through the reference's own ext_to_lang_mapping.json (vendored;
+    * code_taggers.py:204-208 / 247-250 — unknown or missing ext →
+    * "-no-lang"). When the row carries no `ext` but has a `lang` column
+    * (our Iceberg input shape), the language is taken directly — an
+    * addition for table inputs, not a reference behavior change. */
+  private def routeLang(meta: Map[String, String]): String =
+    meta.get("ext") match {
+      case Some(e) => RefData.extToLang.getOrElse(e, "-no-lang")
+      case None    => meta.getOrElse("lang", "-no-lang")
+    }
+
   /** StarCoder-style doc features (code_taggers.py:232-271): XML template
     * sniff, star count from metadata, comment-to-code ratio via a per-
     * language comment lexer (full-AST parity not required by the north
@@ -135,7 +147,7 @@ object CodeTaggers {
       val head = CodePoints.slice(text, 0, 100)
       val hasXml = if (head.contains("<?xml version=")) 1.0 else 0.0
       val stars = meta.get("max_stars_count").flatMap(s => s.toDoubleOption).getOrElse(0.0)
-      val lang = meta.getOrElse("lang", "-no-lang")
+      val lang = routeLang(meta)
 
       val nlRatio =
         if (lang == "python" || lang == "java" || lang == "javascript")
@@ -168,7 +180,7 @@ object CodeTaggers {
       val head = CodePoints.slice(text, 0, 100)
       val hasXml = if (head.contains("<?xml version=")) 1.0 else 0.0
       val stars = meta.get("max_stars_count").flatMap(_.toDoubleOption).getOrElse(0.0)
-      val lang = meta.getOrElse("lang", "-no-lang")
+      val lang = routeLang(meta)
       val known = CommentLexer.knowsLanguage(lang) || lang == "html"
       val (nlRatio, codeToText) =
         if (!known) (-1.0, -1.0)

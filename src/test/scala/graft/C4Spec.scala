@@ -57,4 +57,28 @@ class C4Spec extends AnyFunSuite {
     val spans = tagger(fast = true).predict("a\nb\nc")
     assert(spans.find(_.typ == "line_count").get.score == 3.0)
   }
+
+  test("default blocklist IS the reference's naughty_words_en.txt") {
+    // 403 entries: 279 single words (word-level) + 124 phrases (substring)
+    assert(C4Tagger.DefaultNaughtyWords.size == 279)
+    assert(C4Tagger.DefaultNaughtyPhrases.size == 124)
+    assert(C4Tagger.DefaultNaughtyWords.contains("anus"))
+    assert(C4Tagger.DefaultNaughtyPhrases.contains("2 girls 1 cup"))
+
+    for (fast <- Seq(true, false)) {
+      val t = new C4Tagger(fast,
+        C4Tagger.DefaultNaughtyWords, C4Tagger.DefaultNaughtyPhrases)
+      def hit(s: String) = t.predict(s).exists(_.typ == "has_naughty_word")
+      assert(!hit("Nothing objectionable in this sentence at all."))
+      // real multi-word phrase, substring + case-insensitive
+      assert(hit("They referenced an Alabama Hot Pocket on the show."))
+      // real single word at word level
+      assert(hit("discussing the anus in a clinical context"))
+      // word-level means trailing punctuation blocks a single-word match
+      assert(!hit("discussing the anus, in a clinical context"))
+      // a phrase fragment alone is not a hit ("hot" / "pocket" aren't words
+      // in the list, and no full phrase is present)
+      assert(!hit("a hot pocket snack is fine"))
+    }
+  }
 }

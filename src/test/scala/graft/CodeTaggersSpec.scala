@@ -143,4 +143,32 @@ class CodeTaggersSpec extends AnyFunSuite {
       .map(s => s.typ -> s.score).toMap
     assert(xml("has_xml_template_doc") == 1.0)
   }
+
+  test("starcoder lang routing: metadata.ext via the reference's ext_to_lang_mapping.json") {
+    import graft.taggers.RefData
+    // the vendored map is the reference's own (853 entries)
+    assert(RefData.extToLang.size == 853)
+    assert(RefData.extToLang("py") == "python")
+    assert(RefData.extToLang("java") == "java")
+    assert(RefData.extToLang("js") == "javascript")
+    assert(RefData.extToLang("htm") == "html")
+
+    val code = "# comment line\nx = 1\n"
+    val v2 = new CodeTaggers.StarCoderTagger
+    def ratio(spans: Vector[graft.core.Span]) =
+      spans.find(_.typ == "code_to_comment_ratio_doc").get.score
+    // ext=py routes to python — same result as a direct lang column
+    assert(ratio(v2.predict(code, Map("ext" -> "py"))) ==
+      ratio(v2.predict(code, Map("lang" -> "python"))))
+    assert(ratio(v2.predict(code, Map("ext" -> "py"))) > 0.0)
+    // v2 unknown ext -> "-no-lang" -> neutral 0.5 (code_taggers.py:247-255)
+    assert(ratio(v2.predict(code, Map("ext" -> "zz-not-an-ext"))) == 0.5)
+    // ext takes precedence over a lang column when both are present
+    assert(ratio(v2.predict(code, Map("ext" -> "zz-not-an-ext", "lang" -> "python"))) == 0.5)
+    // v1 unknown ext -> KeyError -> bare-except -1 sentinels (code_taggers.py:206-217)
+    val v1 = new CodeTaggers.StarCoderV1Tagger
+    val unk = v1.predict(code, Map("ext" -> "zz-not-an-ext"))
+      .map(s => s.typ -> s.score).toMap
+    assert(unk("nl_ratio_doc") == -1.0 && unk("code_to_text_ratio_html_doc") == -1.0)
+  }
 }
