@@ -838,14 +838,31 @@ object SparkEntry {
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
     }),
 
+    // KenLM perplexity, oracle-checkable form: per-token log10 p under the
+    // broadcast order-2 model (full backoff recursion — observed bigram,
+    // else backoff(prev)+unigram, else unk), each token quantized to
+    // floor(lp · 2^20) and summed per doc. The integer sum is order-
+    // independent and bit-exact; perplexity itself is
+    // 10^(−score / n_tokens / 2^20), recovered losslessly to ~1e-6 log10
+    // units (KenLm.perplexity proper is MlSpec-covered). The DuckDB side
+    // replays the SAME model from verbatim table literals.
     "kenlm_perplexity" -> ((s, dir) => {
-      val lm = Models.codeLm
+      val lm = Models.codeLm2
       val bc = s.sparkContext.broadcast(lm)
       val d = docs(s, dir)
       import s.implicits._
       d.select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) => (id, bc.value.perplexity(text)) }
-        .toDF("doc_id", "perplexity")
+        .map { case (id, text) =>
+          val toks = graft.ml.KenLm.tokenize(text)
+          var q = 0L
+          var prev: List[String] = Nil
+          toks.foreach { t =>
+            q += math.floor(bc.value.logProb(prev, t) * 1048576.0).toLong
+            prev = List(t)
+          }
+          (id, q, toks.length.toLong)
+        }
+        .toDF("doc_id", "score", "n_tokens")
     })
   )
 
@@ -1327,6 +1344,46 @@ object SparkEntry {
            |  cast(coalesce(p.nb, 0) AS BIGINT) AS n_bigrams
            |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin,
 
+      // the order-2 KenLM replayed from verbatim table literals (the
+      // ann_lsh_topk hyperplane pattern): observed bigram -> its logP,
+      // else backoff(prev) + unigram logP (or unk). Double.toString
+      // round-trips, so every literal parses to the identical double and
+      // the per-token floor(lp*2^20) sums match bit-exactly.
+      "kenlm_perplexity" -> {
+        def sq(s: String) = "'" + s.replace("'", "''") + "'"
+        val (uni, bi) = Models.codeLm2Dump
+        val uniVals = uni.map { case (w, lp, bo) => s"(${sq(w)}, $lp, $bo)" }
+          .mkString(", ")
+        val biVals = bi.map { case (a, b, lp) => s"(${sq(a)}, ${sq(b)}, $lp)" }
+          .mkString(", ")
+        val unk = Models.codeLm2.unkLogProb.toDouble
+        s"""WITH uni AS (SELECT w, cast(lp AS DOUBLE) AS lp, cast(bo AS DOUBLE) AS bo
+           |  FROM (VALUES $uniVals) v(w, lp, bo)),
+           |bi AS (SELECT w1, w2, cast(blp AS DOUBLE) AS blp
+           |  FROM (VALUES $biVals) v(w1, w2, blp)),
+           |toks AS (SELECT doc_id, $wordsLowerSql AS wl FROM documents),
+           |tok AS (SELECT doc_id, unnest(wl) AS cur,
+           |          unnest(range(1, len(wl) + 1)) AS i, len(wl) AS n
+           |        FROM toks),
+           |tk AS (SELECT doc_id, n, i, cur,
+           |         lag(cur) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+           |       FROM tok),
+           |scored AS (SELECT t.doc_id, t.n,
+           |    CASE WHEN b.blp IS NOT NULL THEN b.blp
+           |         ELSE coalesce(pu.bo, 0.0) + coalesce(cu.lp, cast($unk AS DOUBLE)) END AS v
+           |  FROM tk t
+           |  LEFT JOIN bi b ON t.prev = b.w1 AND t.cur = b.w2
+           |  LEFT JOIN uni pu ON t.prev = pu.w
+           |  LEFT JOIN uni cu ON t.cur = cu.w),
+           |per_doc AS (SELECT doc_id, max(n) AS n_tokens,
+           |    sum(cast(floor(v * 1048576.0) AS BIGINT)) AS score
+           |  FROM scored GROUP BY 1)
+           |SELECT d.doc_id,
+           |  cast(coalesce(p.score, 0) AS BIGINT) AS score,
+           |  cast(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+           |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
+      },
+
       // first-occurrence n-gram overlap; grams keyed by their string in
       // SQL (the Spark xxhash64 key is identity-only)
       "dedup_ngram_overlap" ->
@@ -1480,5 +1537,42 @@ object Models {
     val corpus = (0L until 200L).map(i =>
       graft.sources.CodeDocs.makeDoc(i, 1234L, 200L).content)
     graft.ml.KenLm.train(corpus, order = 3)
+  }
+
+  private lazy val lmCorpus: Seq[String] = (0L until 200L).map(i =>
+    graft.sources.CodeDocs.makeDoc(i, 1234L, 200L).content)
+
+  /** Order-2 variant of [[codeLm]] for the oracle-checkable perplexity
+    * query: at order 2 the model tables are small enough (141 unigrams +
+    * 1043 bigrams) to replay verbatim as literals in DuckDB SQL, the same
+    * pattern as ann_lsh_topk's hyperplanes. */
+  lazy val codeLm2: graft.ml.KenLm = graft.ml.KenLm.train(lmCorpus, order = 2)
+
+  /** Word-keyed dump of [[codeLm2]]'s hash tables — (word, logP, logBackoff)
+    * and (w1, w2, logP) — recovered by re-walking the training corpus
+    * (every stored ngram is observed there). Floats are widened to Double
+    * exactly as the scorer widens them, so `Double.toString` literals
+    * round-trip bit-identically into DuckDB. */
+  lazy val codeLm2Dump: (Seq[(String, Double, Double)], Seq[(String, String, Double)]) = {
+    val lm = codeLm2
+    val uni = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    val bi = scala.collection.mutable.LinkedHashMap.empty[(String, String), Double]
+    lmCorpus.foreach { doc =>
+      val toks = graft.ml.KenLm.tokenize(doc)
+      toks.foreach { w =>
+        if (!uni.contains(w)) {
+          val (lp, bo) = lm.tables(1)(graft.ml.KenLm.ngramKey(Seq(w)))
+          uni(w) = (lp.toDouble, bo.toDouble)
+        }
+      }
+      toks.sliding(2).foreach {
+        case Seq(a, b) =>
+          if (!bi.contains((a, b)))
+            bi((a, b)) = lm.tables(2)(graft.ml.KenLm.ngramKey(Seq(a, b)))._1.toDouble
+        case _ =>
+      }
+    }
+    (uni.iterator.map { case (w, (lp, bo)) => (w, lp, bo) }.toSeq,
+      bi.iterator.map { case ((a, b), lp) => (a, b, lp) }.toSeq)
   }
 }
