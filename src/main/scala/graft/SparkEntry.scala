@@ -754,6 +754,11 @@ object SparkEntry {
     // pack real WARC response records (one .warc file per partition),
     // re-read via the record parser, linearize, and emit lengths the
     // oracle recomputes from the same sanitization
+    // NOTE harness-local: this query synthesizes its WARC fixture through
+    // a driver-local temp dir that executors write with java.nio — valid
+    // under the driver contract's local[— mode only. The ENGINE under
+    // test (Warc.readRecords/extractDocuments) uses Hadoop FS paths and
+    // is cluster-safe; only this fixture setup is not.
     "warc_extract" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-warc-q").toString
       val d = docs(s, dir).select(col("doc_id"),
@@ -792,6 +797,8 @@ object SparkEntry {
 
     // token sink end-to-end: tokenize -> binary shard write -> metadata
     // table; each doc's token range length is its word count + eos
+    // NOTE harness-local: like warc_extract, the temp-dir fixture round-
+    // trip is local[—]-only; TokenSink itself writes via Hadoop FS.
     "tokens_sink" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft-tokens-q").toString
       val d = docs(s, dir).withColumn("toks",

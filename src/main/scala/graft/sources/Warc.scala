@@ -17,7 +17,8 @@ import java.nio.charset.{Charset, StandardCharsets}
   * dolma documents.
   *
   * Parallelism grain mirrors the reference exactly: one task per WARC
-  * file (`binaryFile` source → `flatMap` record parse). WARC.gz is not
+  * file (`sc.binaryFiles` → streamed record parse over the
+  * PortableDataStream, O(record) memory per task). WARC.gz is not
   * block-splittable in general, and CC shards are ~1 GB by construction —
   * per-file tasks are the correct 100-TB unit (the reference's
   * process-per-file pool, parallel-ized by Spark's scheduler instead).
@@ -170,24 +171,29 @@ object Warc {
     s
   }
 
-  /** Read raw WARC records: one Spark task per file. */
+  /** Read raw WARC records: one Spark task per file, STREAMED.
+    *
+    * `sc.binaryFiles` hands each task a [[org.apache.spark.input.PortableDataStream]]
+    * that the record parser consumes incrementally, so per-task memory is
+    * O(one record), not O(file): a ~1 GB CC shard never materializes as a
+    * byte array (the earlier `binaryFile`-source formulation did exactly
+    * that, and also inherited its 2 GB per-file cap — files beyond 2 GB
+    * are fine here). The stream is closed on task completion. */
   def readRecords(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.RowEncoder
-    val files = spark.read.format("binaryFile").load(path)
-      .select(col("path"), col("content"))
-    files.mapPartitions { rows =>
-      rows.flatMap { row =>
-        val file = row.getString(0)
-        val bytes = row.getAs[Array[Byte]](1)
-        val gz = file.endsWith(".gz")
-        iterateRecords(new java.io.ByteArrayInputStream(bytes), gz)
-          .filter(r => r.recordType == "response" || r.recordType == "resource")
-          .map { r =>
-            Row(r.recordType, r.recordId, r.targetUri, normalizeUrl(r.targetUri),
-              r.date, r.contentType, decode(r.payload, r.httpCharset), file)
-          }
-      }
-    }(RowEncoder.encoderFor(recordSchema))
+    val rdd = spark.sparkContext.binaryFiles(path).flatMap { case (file, pds) =>
+      val gz = file.endsWith(".gz")
+      val in = pds.open()
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: Exception => () }))
+      iterateRecords(in, gz)
+        .filter(r => r.recordType == "response" || r.recordType == "resource")
+        .map { r =>
+          Row(r.recordType, r.recordId, r.targetUri, normalizeUrl(r.targetUri),
+            r.date, r.contentType, decode(r.payload, r.httpCharset), file)
+        }
+    }
+    spark.createDataFrame(rdd, recordSchema)
   }
 
   /** Full extraction pipeline (processor.py:160-206): pre-taggers on the
