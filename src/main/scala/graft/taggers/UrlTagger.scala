@@ -136,12 +136,17 @@ object UrlRules {
   /** BaseUrlTagger.parse_line (url.py:86-112). `domainMode` selects which
     * clean_url the yielded URLs pass through. Unparseable lines are
     * dropped (the reference logs and skips them). */
-  def parseLine(line: String, domainMode: Boolean): Seq[String] = {
+  def parseLine(line: String, domainMode: Boolean): Seq[String] =
+    parseLine(line,
+      u => if (domainMode) domainCleanUrl(u) else linkCleanUrl(u).toSeq)
+
+  /** parse_line with an explicit clean_url (Python dispatches
+    * `self.clean_url` dynamically — the wikidata subclass routes the
+    * grammar's matches through its own expanded cleaner). */
+  def parseLine(line: String, clean: String => Seq[String]): Seq[String] = {
     val ln = line.trim.toLowerCase
     if (ln.isEmpty || ln.startsWith("#") || ln.startsWith(";") || ln.startsWith("!"))
       return Seq.empty
-    def clean(u: String): Seq[String] =
-      if (domainMode) domainCleanUrl(u) else linkCleanUrl(u).toSeq
     ln match {
       case MaybeIpAndUrl(ip, url, _) =>
         // an IP+URL-shaped line with an invalid IP raises
@@ -425,6 +430,51 @@ final class AbpUrlTagger(name0: String, blocker: AbpBlocker) extends Tagger {
   }
 }
 
+/** AllowlistWikidataTagger (url.py:381-489): the list is JSON lines —
+  * each line an array of `{url, description}` rows. clean_url extends the
+  * domain cleaner with the BASE DOMAIN (last two labels when the host has
+  * more than two dots, url.py:392-397), and check_url re-cleans the
+  * already-cleaned probe (predict hands it clean_url output,
+  * url.py:125-133 + 420-423), so the probe set is clean(clean(url)).
+  *
+  * Quirk mirrored: the "cleaned" variant (url.py:424-489) defines
+  * is_valid_row NSFW/incomplete-description filters that the reference
+  * NEVER CALLS — both registry names are observably identical, so both
+  * bind to this class. */
+final class WikidataAllowlistTagger(name0: String, jsonLines: Seq[String]) extends Tagger {
+  val name: String = name0
+
+  private def baseDomain(url: String): String =
+    if (url.count(_ == '.') > 2) url.split('.').takeRight(2).mkString(".")
+    else url
+
+  private def cleanUrl(url: String): Seq[String] =
+    UrlRules.domainCleanUrl(url).flatMap(c => Seq(c, baseDomain(c)))
+
+  private val allowSet: Set[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val b = Set.newBuilder[String]
+    jsonLines.iterator.map(_.trim).filter(_.nonEmpty).foreach { ln =>
+      val arr = mapper.readTree(ln)
+      arr.forEach { row =>
+        Option(row.get("url")).map(_.asText()).filter(_.nonEmpty).foreach { u =>
+          // parse_line(url.py:407-414): each cleaned url re-enters the
+          // base grammar, whose matches clean through THIS cleaner again
+          cleanUrl(u).foreach(c => b ++= UrlRules.parseLine(c, cleanUrl _))
+        }
+      }
+    }
+    b.result()
+  }
+
+  def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+    val url = meta.getOrElse("url", "")
+    val hit = url.nonEmpty &&
+      cleanUrl(url).exists(c1 => cleanUrl(c1).exists(allowSet.contains))
+    if (hit) Vector(Span(0, CodePoints.length(text), "url", 1.0)) else Vector.empty
+  }
+}
+
 object UrlTaggers {
 
   /** Build the named tagger families from local blocklist files (the
@@ -440,25 +490,64 @@ object UrlTaggers {
   def abpTaggerFromLines(name: String, lines: Seq[String]): AbpUrlTagger =
     new AbpUrlTagger(name, new AbpBlocker(lines))
 
-  /** Demo lists standing in for the reference's curated downloads (list
-    * CONTENT is data, not code; the parsing/matching machinery above is
-    * the deliverable). Registry names mirror url.py:151-260. */
+  /** List-data convention: each registry name resolves its list from
+    * `$GRAFT_URL_LIST_DIR/<name>.txt` when that file exists (production
+    * data — the reference's curated multi-GB downloads, pre-concatenated
+    * per name), else from the bundled excerpt fixture
+    * `resources/graft/data/url/<name>.txt` (real list FORMATS with a few
+    * representative entries, so every name resolves and matches out of
+    * the box). */
+  def listLines(name: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    sys.env.get("GRAFT_URL_LIST_DIR")
+      .map(d => java.nio.file.Paths.get(d, s"$name.txt"))
+      .filter(p => java.nio.file.Files.isReadable(p)) match {
+      case Some(p) => java.nio.file.Files.readAllLines(p).asScala.toVector
+      case None => RefData.lines(s"url/$name.txt")
+    }
+  }
+
+  /** Registry-name parity with the reference (url.py:150-489): all 27
+    * names. List CONTENT is caller-provided data (see [[listLines]]); the
+    * parsing/matching machinery is the deliverable. */
+  val DomainNames: Seq[String] = Seq(
+    "domain_blocklist_utp_v1",
+    "domain_blocklist_phishing_v1",
+    "blocklist_project_nsfw_v1",
+    "blocklist_project_social_v1",
+    "blocklist_project_crime_v1",
+    "blocklist_project_vice_v1",
+    "blocklist_project_ads_v1",
+    "blocklist_firebog_ads_v1",
+    "blocklist_firebog_crypto_v1",
+    "blocklist_firebog_malicious_v1",
+    "blocklist_firebog_nsfw_v1",
+    "blocklist_firebog_social_v1",
+    "blocklist_firebog_suspicious_v1",
+    "blocklist_firebog_trackers_v1",
+    "blocklist_hosts_adware_malware_v1",
+    "blocklist_hosts_fakenews_v1",
+    "blocklist_hosts_gambling_v1",
+    "blocklist_hosts_porn_v1",
+    "blocklist_hosts_social_v1")
+  val AbpNames: Seq[String] = Seq(
+    "oisd_small_abp_v1", "oisd_big_abp_v1", "oisd_nsfw_abp_v1",
+    "brave_core_abp_v1", "brave_nsfw_abp_v1")
+  val LinkNames: Seq[String] = Seq("link_blocklist_phishing_v1")
+  val AllowlistNames: Seq[String] =
+    Seq("allowlist_wikidata_v1", "allowlist_wikidata_cleaned_v1")
+  val AllNames: Seq[String] =
+    DomainNames ++ AbpNames ++ LinkNames ++ AllowlistNames
+
   def registerAll(): Unit = {
-    val hostsDemo = Seq(
-      "# demo hosts-format list",
-      "0.0.0.0 ads.example.net",
-      "0.0.0.0 tracker.example.org",
-      "blocked.example.com")
-    TaggerRegistry.register("blocklist_project_ads_v1")(
-      domainTaggerFromLines("blocklist_project_ads_v1", hostsDemo))
-    TaggerRegistry.register("link_blocklist_phishing_v1")(
-      new LinkBlocklistTagger("link_blocklist_phishing_v1",
-        Seq("phish.example.com/login", "evil.example.net")
-          .flatMap(UrlRules.parseRawLine).toSet))
-    TaggerRegistry.register("oisd_small_abp_v1")(
-      abpTaggerFromLines("oisd_small_abp_v1", Seq(
-        "||ads.example.net^",
-        "||banner.example.com^$image",
-        "-advertisement.")))
+    DomainNames.foreach(n =>
+      TaggerRegistry.register(n)(domainTaggerFromLines(n, listLines(n))))
+    AbpNames.foreach(n =>
+      TaggerRegistry.register(n)(abpTaggerFromLines(n, listLines(n))))
+    LinkNames.foreach(n =>
+      TaggerRegistry.register(n)(new LinkBlocklistTagger(n,
+        listLines(n).flatMap(UrlRules.parseRawLine).toSet)))
+    AllowlistNames.foreach(n =>
+      TaggerRegistry.register(n)(new WikidataAllowlistTagger(n, listLines(n))))
   }
 }
