@@ -182,19 +182,47 @@ object Main {
         withAttrs, sha2(col("content"), 256), col("__ord"))
     }
 
-    // mix
+    // mix. Predicates: the compiled-Column grammar is the hot path;
+    // `"syntax": "jq"` (or a jq-looking string the grammar rejects) routes
+    // through the generic graft.mixer.Jq interpreter fallback
+    // (reference: src/filters.rs:250-385 + SpanReplacementConfig.syntax).
     val filterNode = Option(cfg.get("filter"))
+    val filterSyntax = filterNode.flatMap(f => Option(f.get("syntax")).map(_.asText()))
+      .getOrElse("jsonpath")
     def preds(kind: String): Seq[org.apache.spark.sql.Column] =
       filterNode.flatMap(f => Option(f.get(kind))).map(_.elements().asScala.map { n =>
         val s = n.asText()
-        if (s == "is_duplicate") col("is_duplicate") else PredicateCompiler.compile(s)
+        def jqCol() =
+          if (kind == "exclude")
+            graft.mixer.Jq.excludeColumn(s, col("attributes"), col("id"), col("content"))
+          else
+            graft.mixer.Jq.includeColumn(s, col("attributes"), col("id"), col("content"))
+        if (s == "is_duplicate") col("is_duplicate")
+        else if (filterSyntax == "jq") jqCol()
+        else
+          try PredicateCompiler.compile(s)
+          catch { case e: Exception if s.startsWith(".") => jqCol() }
       }.toSeq).getOrElse(Seq.empty)
     val docDedup = dedupEnabled && dedupMode == "documents"
     val exclude = preds("exclude") ++ (if (docDedup) Seq(col("is_duplicate")) else Nil)
 
+    // span selectors: jsonpath "$.attributes.NAME" or (syntax: jq) the
+    // optional-path form ".attributes?.NAME?" — both resolve to the flat
+    // attribute key of this engine's attribute maps
+    val SimpleJqAttr = """^\.attributes\??\.([A-Za-z0-9_]+)\??$""".r
     val replacements = Option(cfg.get("span_replacement")).map(_.elements().asScala.map { r =>
+      val rawSpan = r.get("span").asText()
+      val spanName = Option(r.get("syntax")).map(_.asText()) match {
+        case Some("jq") => rawSpan match {
+          case SimpleJqAttr(name) => name
+          case other => sys.error(
+            s"jq span selector '$other' is not a flat attribute path; " +
+              "this engine's attribute maps are keyed exp__tagger__type")
+        }
+        case _ => rawSpan
+      }
       Mixer.SpanReplacementRule(
-        r.get("span").asText(),
+        spanName,
         Option(r.get("min_score")).map(_.asDouble()).getOrElse(Double.NegativeInfinity),
         Option(r.get("max_score")).map(_.asDouble()).getOrElse(Double.PositiveInfinity),
         Option(r.get("replacement")).map(_.asText()).getOrElse(""))

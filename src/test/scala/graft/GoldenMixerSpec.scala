@@ -84,4 +84,31 @@ class GoldenMixerSpec extends AnyFunSuite {
         "$.attributes.dummy && $.attributes.dummy[0] && $.attributes.dummy[0][2] > 0.5")))
     assert(idText(kept) == expected("filter-by-spans"))
   }
+
+  test("golden email-spans-jq.yaml: jq span selectors reproduce the frozen scrub") {
+    // config tests/config/email-spans-jq.yaml: syntax=jq selectors
+    // `.attributes?.pii?.email?` / `.attributes?.pii?.company_name?`,
+    // both rules min_score 0.5, max_score 0.9; expected output frozen in
+    // tests/data/expected/email-spans-jq.json.gz
+    import graft.mixer.Jq
+    val emailSel = new Jq.Selector(".attributes?.pii?.email?")
+    val companySel = new Jq.Selector(".attributes?.pii?.company_name?")
+    val piiById = spark.read.text(s"$base/provided/attributes/pii/000.json.gz")
+      .as[String].collect().map { line =>
+        val doc = Jq.parseJson(line)
+        val id = doc.asInstanceOf[Jq.JObj].fields("id").asInstanceOf[Jq.JStr].s
+        id -> doc
+      }.toMap
+    val scrubbed = docs.select(col("id"), col("text")).as[(String, String)]
+      .collect().map { case (id, text) =>
+        val attrDoc = piiById(id)
+        def reps(sel: Jq.Selector, tmpl: String) =
+          sel.selectSpans(attrDoc)
+            .filter { case (_, _, sc) => sc >= 0.5 && sc < 0.9 }
+            .map { case (s, e, _) => SpanScrubber.Replacement(s, e, tmpl) }
+        val all = reps(emailSel, "[B-EMAIL]{}[E-EMAIL]") ++ reps(companySel, "")
+        id -> SpanScrubber.scrub(text, all)
+      }.toMap
+    assert(scrubbed == expected("email-spans-jq"))
+  }
 }

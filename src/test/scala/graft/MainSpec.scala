@@ -103,6 +103,26 @@ class MainSpec extends AnyFunSuite {
     assert(attrs.select("id").distinct().count() == 3)
   }
 
+  test("filter syntax=jq: generic jq predicates drive keep/drop end-to-end") {
+    val dir = Files.createTempDirectory("graft-main-jq").toString
+    Seq(("a", "short text"), ("b", "a considerably longer text body"),
+        ("c", "mid-size text"))
+      .toDF("id", "content").write.parquet(s"$dir/input")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input"},
+         |  "taggers": ["char_length_v1"],
+         |  "experiment": "e",
+         |  "filter": {"syntax": "jq", "exclude": [
+         |    ".attributes.e__char_length_v1__length[0][-1] > 14"]},
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    val kept = spark.read.parquet(s"$dir/out").select("id").as[String].collect().sorted
+    // "b" (31 chars) is excluded; "a" (10) and "c" (13) survive
+    assert(kept.toSeq == Seq("a", "c"))
+  }
+
   test("dedupe mode=paragraphs: duplicate spans flow to the mixer scrub") {
     val dir = Files.createTempDirectory("graft-main-para").toString
     import spark.implicits._
