@@ -58,9 +58,19 @@ object ScalingBench {
       (p.toDouble, t.toDouble, k.toLong)
     }
 
-    val (p2, g2, kept2) = run(2, 4)
-    val (p8, g8, kept8) = run(8, 12)
-    val (p32, g32, kept32) = run(32, 48)
+    // min-of-2 CHILD JVMs per level (each child is itself min-of-2 after
+    // warmup): cross-invocation sandbox noise is ±10-20%, and a single
+    // noisy leg can swing an efficiency ratio by ~0.2 — the min is the
+    // standard noise-floor estimator
+    def runMin(cpus: Int, heapGb: Int): (Double, Double, Long) = {
+      val (pa, ta, ka) = run(cpus, heapGb)
+      val (pb, tb, kb) = run(cpus, heapGb)
+      require(ka == kb, s"kept rows differ between reps at local[$cpus]")
+      (math.min(pa, pb), math.min(ta, tb), ka)
+    }
+    val (p2, g2, kept2) = runMin(2, 4)
+    val (p8, g8, kept8) = runMin(8, 12)
+    val (p32, g32, kept32) = runMin(32, 48)
     require(kept8 == kept32 && kept2 == kept8,
       s"kept rows differ across parallelism: $kept2/$kept8/$kept32")
     val effP28 = (p2 / p8) / 4.0
@@ -104,7 +114,8 @@ object ScalingBench {
          |- Per-level JVM isolation matters: a shared 32-core JVM lets the
          |  8-thread run free-ride on 24 idle cores for GC.
          |- Sandbox wall-clock noise is ±10-20% between invocations; each
-         |  number is min-of-2 after a 10k-doc JIT warmup.
+         |  number is the min over TWO child JVMs per level, each child
+         |  itself min-of-2 after a 10k-doc JIT warmup.
          |
          |Reference baseline: dolma publishes no hard throughput numbers
          |(see BASELINE.md); its production configs use 188 single-node
@@ -114,7 +125,12 @@ object ScalingBench {
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))
-    Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    // keep the per-query variance study (written by the 3×Bench protocol,
+    // BENCH/VARIANCE.md) attached to the scaling evidence
+    val variance = Paths.get("BENCH/VARIANCE.md")
+    val full =
+      if (Files.exists(variance)) md + "\n" + Files.readString(variance) else md
+    Files.writeString(Paths.get("BENCH/BASELINE.md"), full)
     println(md)
     println(s"""{"metric":"scaling_efficiency","value":$effP28,"unit":"ratio","tag_efficiency":$effT28,"pipeline_eff_8_32":$effP832,"tag_eff_8_32":$effT832,"docs":$nDocs}""")
   }

@@ -870,6 +870,19 @@ object SparkEntry {
           (id, q, toks.length.toLong)
         }
         .toDF("doc_id", "score", "n_tokens")
+    }),
+
+    // real byte-level BPE (trained in-repo): encode -> decode must
+    // reproduce the text EXACTLY for every doc (byte-level alphabet =>
+    // no unk) — sha256-checked against the raw text in DuckDB; token-
+    // level vectors live in MlSpec
+    "bpe_roundtrip" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(Models.codeBpe)
+      val rt = udf((t: String) =>
+        bc.value.decode(bc.value.encode(if (t == null) "" else t).toSeq))
+      docs(s, dir).select(col("doc_id"),
+        sha2(rt(col("text")), 256).as("roundtrip_sha"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
     })
   )
 
@@ -1391,6 +1404,12 @@ object SparkEntry {
            |FROM documents d LEFT JOIN per_doc p USING (doc_id)""".stripMargin
       },
 
+      // BPE encode->decode must be the identity on every document
+      "bpe_roundtrip" ->
+        """SELECT doc_id, sha256(text) AS roundtrip_sha,
+          | strlen(text) AS n_bytes
+          |FROM documents""".stripMargin,
+
       // first-occurrence n-gram overlap; grams keyed by their string in
       // SQL (the Spark xxhash64 key is identity-only)
       "dedup_ngram_overlap" ->
@@ -1554,6 +1573,11 @@ object Models {
     * 1043 bigrams) to replay verbatim as literals in DuckDB SQL, the same
     * pattern as ann_lsh_topk's hyperplanes. */
   lazy val codeLm2: graft.ml.KenLm = graft.ml.KenLm.train(lmCorpus, order = 2)
+
+  /** Byte-level BPE trained on the in-repo corpus (512 merges) — the real
+    * subword vocabulary for the token sink (the reference's pretrained HF
+    * vocabs are not fetchable offline; the ALGORITHM is the deliverable). */
+  lazy val codeBpe: graft.ml.Bpe = graft.ml.Bpe.train(lmCorpus, numMerges = 512)
 
   /** Word-keyed dump of [[codeLm2]]'s hash tables — (word, logP, logBackoff)
     * and (w1, w2, logP) — recovered by re-walking the training corpus

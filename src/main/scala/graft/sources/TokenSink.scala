@@ -43,6 +43,20 @@ object TokenSink {
     if (appendEos) concat(ids, array(lit(EosId))) else ids
   }
 
+  /** Real-subword alternative to [[tokenIds]]: byte-level BPE ids
+    * ([[graft.ml.Bpe]], trained in-repo), shifted by [[FirstVocabId]] so
+    * the reserved pad/bos/eos/unk ids stay reserved. Decodable:
+    * `bpe.decode(ids.map(_ - FirstVocabId))` reproduces the text exactly
+    * (oracle `bpe_roundtrip`). */
+  def bpeTokenIds(textCol: Column, bpe: graft.ml.Bpe,
+      appendEos: Boolean = true): Column = {
+    val enc = org.apache.spark.sql.functions.udf((s: String) => {
+      val base = bpe.encode(if (s == null) "" else s).map(_ + FirstVocabId)
+      if (appendEos) base :+ EosId else base
+    })
+    enc(textCol)
+  }
+
   val metadataSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("shard", StringType, nullable = false),

@@ -117,7 +117,71 @@ object LengthTaggers {
     }
   }
 
+  /** OLMo pre-tokenizer piece count (length.py:124-160). Needs NO
+    * vocabulary — only the deterministic pre-tokenization pipeline:
+    * (1) isolate ` ?[[:punct:]]` matches as standalone pieces,
+    * (2) isolate ` ?\d` matches within every piece,
+    * (3) the GPT-2 ByteLevel regex
+    *     `'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+`
+    *     tiles each piece; the count is the number of final pieces (the
+    *     byte remapping doesn't change it).
+    * Re-derived from the HF `tokenizers` Split(behavior=isolated) +
+    * ByteLevel(use_regex) semantics — the crate itself is unavailable
+    * offline; `[[:punct:]]` and `\d` are ASCII classes here as in the
+    * Rust regex engine. The full-BPE `dolma_v1/v2_tokenizer` counts stay
+    * out of scope (they need the real vocab data). */
+  object OlmoPreTokenizer {
+    private val punct = java.util.regex.Pattern.compile(" ?\\p{Punct}")
+    private val digit = java.util.regex.Pattern.compile(" ?[0-9]")
+    private val gpt2 = java.util.regex.Pattern.compile(
+      "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+    private def isolate(piece: String, p: java.util.regex.Pattern): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      val m = p.matcher(piece)
+      var last = 0
+      while (m.find()) {
+        if (m.start() > last) out += piece.substring(last, m.start())
+        out += piece.substring(m.start(), m.end())
+        last = m.end()
+      }
+      if (last < piece.length) out += piece.substring(last)
+      out.result()
+    }
+
+    def count(text: String): Int = {
+      if (text.isEmpty) return 0
+      val pieces = isolate(text, punct).flatMap(isolate(_, digit))
+      var n = 0
+      pieces.foreach { pc =>
+        val m = gpt2.matcher(pc)
+        while (m.find()) n += 1
+      }
+      n
+    }
+  }
+
+  final class OlmoPreTokenizerV1 extends Tagger {
+    val name = "olmo_pretokenizer_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] =
+      Vector(Span(0, CodePoints.length(text), "length",
+        OlmoPreTokenizer.count(text).toDouble))
+  }
+
+  final class OlmoPreTokenizerWithParagraphsV1 extends Tagger {
+    val name = "olmo_pretokenizer_with_paragraphs_v1"
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val paras = TextSplit.splitParagraphs(text)
+      val spans = paras.map(p =>
+        Span(p.start, p.end, "paragraph", OlmoPreTokenizer.count(p.text).toDouble))
+      spans :+ Span(0, CodePoints.length(text), "document", spans.map(_.score).sum)
+    }
+  }
+
   def registerAll(): Unit = {
+    TaggerRegistry.register("olmo_pretokenizer_v1")(new OlmoPreTokenizerV1)
+    TaggerRegistry.register("olmo_pretokenizer_with_paragraphs_v1")(
+      new OlmoPreTokenizerWithParagraphsV1)
     TaggerRegistry.register("char_length_v1")(new CharLengthV1)
     TaggerRegistry.register("char_length_strip_ws_v1")(new CharLengthStripWsV1)
     TaggerRegistry.register("bytes_length_v1")(new BytesLengthV1)

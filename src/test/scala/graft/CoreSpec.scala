@@ -98,4 +98,32 @@ class CoreSpec extends AnyFunSuite {
     assert(paras.head.score == whole.predict("This is a test.").head.score)
     assert(doc.length == 1 && doc.head.score == paras.map(_.score).sum)
   }
+
+  test("olmo_pretokenizer_v1: piece counts (length.py:124-148, hand-derived)") {
+    val t = graft.taggers.TaggerRegistry.resolve("olmo_pretokenizer_v1")
+    def n(s: String) = t.predict(s).head.score
+    // "Hello, world 42!": punct-isolate -> [Hello][,][ world 42][!];
+    // digit-isolate -> [ world][ 4][2]; GPT-2 regex leaves each whole
+    assert(n("Hello, world 42!") == 6.0)
+    // apostrophe is isolated by the punct split BEFORE the GPT-2
+    // contraction alternatives can see it: [don]['][t stop] -> 1+1+2
+    assert(n("don't stop") == 4.0)
+    assert(n("") == 0.0)
+    assert(n("abc") == 1.0)
+    // GPT-2 whitespace lookahead: "a  b" -> [a][ ][ b]
+    assert(n("a  b") == 3.0)
+    // digits split one-per-piece: "2024" -> [2][0][2][4]
+    assert(n("2024") == 4.0)
+  }
+
+  test("olmo_pretokenizer_with_paragraphs_v1: per-paragraph + doc rollup (length.py:150-160)") {
+    val t = graft.taggers.TaggerRegistry.resolve("olmo_pretokenizer_with_paragraphs_v1")
+    val spans = t.predict("Hello, world 42!\nabc def")
+    val paras = spans.filter(_.typ == "paragraph")
+    val doc = spans.filter(_.typ == "document")
+    // paragraph 1 keeps its trailing newline (split_paragraphs regex), so
+    // the "\n" piece adds one: 6 + 1; paragraph 2 = "abc def" -> 2
+    assert(paras.map(_.score) == Vector(7.0, 2.0))
+    assert(doc.length == 1 && doc.head.score == 9.0)
+  }
 }

@@ -111,4 +111,45 @@ class MlSpec extends AnyFunSuite {
     assert(d17.map(_.typ).sorted == Vector("hq", "lq"))
     assert(d17.map(_.score) == d17.map(_.score).sortBy(-_))
   }
+
+  test("BPE: byte-level roundtrip is the identity on arbitrary strings") {
+    val bpe = graft.ml.Bpe.train(Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the lazy dog sleeps while the quick fox runs",
+      "pack my box with five dozen liquor jugs"), numMerges = 64)
+    val cases = Seq(
+      "", "the quick fox", "UNSEEN tokens!! 123",
+      "unicode: héllo wörld — ok",
+      "emoji 😀 and surrogates 🎉",
+      "line\nbreaks\r\nand\ttabs", "   leading spaces", "trailing   ")
+    cases.foreach { s =>
+      assert(bpe.decode(bpe.encode(s).toSeq) == s, s"roundtrip failed for '$s'")
+    }
+  }
+
+  test("BPE: deterministic training, real compression on frequent words") {
+    val corpus = Seq.fill(20)("the quick brown fox the quick brown fox")
+    val a = graft.ml.Bpe.train(corpus, numMerges = 32)
+    val b = graft.ml.Bpe.train(corpus, numMerges = 32)
+    assert(a.merges == b.merges)
+    assert(a.vocabSize > 256) // merges actually learned
+    // a frequent training word encodes to far fewer tokens than bytes
+    val ids = a.encode(" quick")
+    assert(ids.length < " quick".getBytes("UTF-8").length)
+    // every vocab entry decodes to the bytes it was built from
+    assert(new String(a.vocabBytes(97), "UTF-8") == "a")
+    // pretokenize is exhaustive (pieces concatenate back)
+    val t = "  a bb   ccc "
+    assert(graft.ml.Bpe.pretokenize(t).mkString == t)
+  }
+
+  test("BPE: merge loop honors rank order (earliest merge wins)") {
+    // corpus where "ab" merges before "bc": "ab" appears more often
+    val bpe = graft.ml.Bpe.train(Seq("ababab abc abc"), numMerges = 8)
+    val abId = bpe.merges.get(('a'.toInt, 'b'.toInt))
+    assert(abId.isDefined)
+    // "abc": the ab merge (lower id) applies before any bc merge could
+    val ids = bpe.encode("abc")
+    assert(ids.head == abId.get)
+  }
 }

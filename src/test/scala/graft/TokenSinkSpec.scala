@@ -72,4 +72,24 @@ class TokenSinkSpec extends AnyFunSuite {
       targetTokensPerShard = 128L)
     assert(meta.select(col("shard")).distinct().count() == 4)
   }
+
+  test("BPE ids through the shard sink decode back to the exact text") {
+    val dir = Files.createTempDirectory("graft-tokens-bpe").toString
+    val bpe = graft.ml.Bpe.train(
+      (0 until 40).map(i => s"val x$i = compute(input$i) // comment $i"),
+      numMerges = 128)
+    val texts = (0 until 30).map(i => (s"d$i", s"val x$i = compute(input$i)"))
+    val docs = texts.toDF("id", "text")
+      .withColumn("toks", TokenSink.bpeTokenIds(col("text"), bpe))
+    val meta = TokenSink.writeShards(docs, col("id"), col("toks"), dir,
+      numShards = 2, bytesPerToken = 2)
+    val byId = texts.toMap
+    meta.collect().foreach { r =>
+      val (id, shard, s, e) = (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val ids = TokenSink.readShard(spark, dir, shard).slice(s.toInt, e.toInt)
+      assert(ids.last == TokenSink.EosId)
+      val decoded = bpe.decode(ids.dropRight(1).map(_ - TokenSink.FirstVocabId).toSeq)
+      assert(decoded == byId(id))
+    }
+  }
 }
