@@ -58,25 +58,40 @@ object ScalingBench {
       (p.toDouble, t.toDouble, k.toLong)
     }
 
-    // min-of-2 CHILD JVMs per level (each child is itself min-of-2 after
-    // warmup): cross-invocation sandbox noise is ±10-20%, and a single
-    // noisy leg can swing an efficiency ratio by ~0.2 — the min is the
-    // standard noise-floor estimator
-    def runMin(cpus: Int, heapGb: Int): (Double, Double, Long) = {
-      val (pa, ta, ka) = run(cpus, heapGb)
-      val (pb, tb, kb) = run(cpus, heapGb)
-      require(ka == kb, s"kept rows differ between reps at local[$cpus]")
-      (math.min(pa, pb), math.min(ta, tb), ka)
+    // INTERLEAVED repetitions: sandbox wall-clock drifts ±20-40% on the
+    // scale of minutes (multi-tenant host), so sequential level blocks
+    // (2,2,8,8,32,32) let one ambient window hit one level only and swing
+    // an efficiency RATIO by ~0.2-0.3 between invocations. Running the
+    // three levels adjacently inside each repetition (2,8,32 | 2,8,32 |
+    // ...) makes every per-rep ratio a same-window comparison; the
+    // reported figure is the per-leg MIN across reps (noise-floor
+    // estimator), with every per-rep ratio published alongside.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val samples = (1 to reps).map { r =>
+      val s = Seq(run(2, 4), run(8, 12), run(32, 48))
+      System.err.println(s"DEBUG rep $r: " + s.map(x => f"${x._1}%.1f").mkString("/"))
+      s
     }
-    val (p2, g2, kept2) = runMin(2, 4)
-    val (p8, g8, kept8) = runMin(8, 12)
-    val (p32, g32, kept32) = runMin(32, 48)
-    require(kept8 == kept32 && kept2 == kept8,
-      s"kept rows differ across parallelism: $kept2/$kept8/$kept32")
+    val kepts = samples.flatMap(_.map(_._3)).distinct
+    require(kepts.size == 1, s"kept rows differ across runs: $kepts")
+    val kept2 = kepts.head; val kept8 = kepts.head; val kept32 = kepts.head
+    def legMin(i: Int, f: ((Double, Double, Long)) => Double): Double =
+      samples.map(s => f(s(i))).min
+    val (p2, g2) = (legMin(0, _._1), legMin(0, _._2))
+    val (p8, g8) = (legMin(1, _._1), legMin(1, _._2))
+    val (p32, g32) = (legMin(2, _._1), legMin(2, _._2))
     val effP28 = (p2 / p8) / 4.0
     val effT28 = (g2 / g8) / 4.0
     val effP832 = (p8 / p32) / 4.0
     val effT832 = (g8 / g32) / 4.0
+    // per-rep (same-ambient-window) efficiency pairs for the writeup
+    val repPairs = samples.map { s =>
+      ((s(0)._1 / s(1)._1) / 4.0, (s(1)._1 / s(2)._1) / 4.0,
+        (s(0)._2 / s(1)._2) / 4.0, (s(1)._2 / s(2)._2) / 4.0)
+    }
+    val repTable = repPairs.zipWithIndex.map { case ((a, b, c, d), i) =>
+      f"|rep ${i + 1} | $a%.3f | $b%.3f | $c%.3f | $d%.3f |"
+    }.mkString("\n")
 
     val md =
       s"""# BENCH — measured scaling evidence
@@ -101,6 +116,14 @@ object ScalingBench {
          |Efficiency = (T_N / T_4N) / 4; 1.0 = perfect linear scaling.
          |Scaling-efficiency target ≥ 0.8 (north rule).
          |
+         |Per-repetition efficiencies (levels run ADJACENTLY inside each
+         |rep, so every ratio is a same-ambient-window comparison; the
+         |headline table uses the per-leg min across reps):
+         |
+         || rep | pipe 2→8 | pipe 8→32 | tag 2→8 | tag 8→32 |
+         ||---|---|---|---|---|
+         |$repTable
+         |
          |Measurement notes:
          |- Single-box control probes bound what ANY workload can score at
          |  8→32 threads here: a pure-ALU loop with zero memory traffic and
@@ -113,9 +136,10 @@ object ScalingBench {
          |  single-box ceiling applies to the cluster criterion.
          |- Per-level JVM isolation matters: a shared 32-core JVM lets the
          |  8-thread run free-ride on 24 idle cores for GC.
-         |- Sandbox wall-clock noise is ±10-20% between invocations; each
-         |  number is the min over TWO child JVMs per level, each child
-         |  itself min-of-2 after a 10k-doc JIT warmup.
+         |- Sandbox wall-clock noise is ±20-40% between invocations on a
+         |  multi-tenant host; levels are interleaved per repetition and
+         |  each headline number is the per-leg min across $reps reps (each
+         |  child JVM itself min-of-2 after a 10k-doc JIT warmup).
          |
          |Reference baseline: dolma publishes no hard throughput numbers
          |(see BASELINE.md); its production configs use 188 single-node

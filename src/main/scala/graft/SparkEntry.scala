@@ -438,10 +438,12 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, lit("sub.ads.example.net"))
             .when(col("doc_id") % 5 === 1, lit("www.tracker.example.org"))
             .when(col("doc_id") % 5 === 2, lit("phish.example.com"))
+            .when(col("doc_id") % 5 === 3, lit("www.nytimes.com"))
             .otherwise(lit("clean.example.io")),
           when(col("doc_id") % 5 === 2, lit("/login")).otherwise(lit("/x"))))
       val attrs = TagRunner.tag(d, Seq("blocklist_project_ads_v1",
-          "link_blocklist_phishing_v1", "oisd_small_abp_v1"), "t",
+          "link_blocklist_phishing_v1", "oisd_small_abp_v1",
+          "allowlist_wikidata_v1"), "t",
         idCol = "id", textCol = "text", metaCols = Seq("url"))
       def a(t: String) = graft.core.Attributes.mangle("t", t, "url")
       attrs.select(col("id").cast("long").as("doc_id"),
@@ -450,7 +452,9 @@ object SparkEntry {
         size(TagRunner.attrSpans(a("link_blocklist_phishing_v1")))
           .cast("long").as("link_hit"),
         size(TagRunner.attrSpans(a("oisd_small_abp_v1")))
-          .cast("long").as("abp_hit"))
+          .cast("long").as("abp_hit"),
+        size(TagRunner.attrSpans(a("allowlist_wikidata_v1")))
+          .cast("long").as("allow_hit"))
     }),
 
     "tag_langid_hits" -> ((s, dir) => {
@@ -1480,7 +1484,8 @@ object SparkEntry {
         """SELECT doc_id,
           | cast(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS BIGINT) AS hosts_hit,
           | cast(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END AS BIGINT) AS link_hit,
-          | cast(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS abp_hit
+          | cast(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS abp_hit,
+          | cast(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT) AS allow_hit
           |FROM documents""".stripMargin,
 
       // constructed spans: ' echo'*k1 / ' brr'*k2 units match the char
