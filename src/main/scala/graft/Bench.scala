@@ -28,6 +28,7 @@ object Bench {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.local.dir", graft.runtime.TmpFs.sparkLocalDir("graft-bench"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")

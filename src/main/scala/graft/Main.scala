@@ -96,13 +96,33 @@ object Main {
     // pipeline here would overwrite prior output with an empty write.
     if (ledger.isDefined && pendingFiles.isEmpty) return
     // Partial resume: completed files' output already exists on disk, so
-    // this run's writes must APPEND; the ledger guarantees each input
-    // file is processed exactly once across runs, keeping append
-    // exactly-once at file grain.
+    // this run's writes must ADD files without touching prior output. A
+    // naive Append would break exactly-once: a crash after the append but
+    // before the ledger commit leaves unrecorded output files, and the
+    // retry appends them again (the reference mixer avoids this with
+    // per-file temp+rename, src/mixer.rs). Instead, a resumed run writes
+    // to a hidden staging dir inside the output path and PROMOTES the
+    // files under a deterministic run-id prefix (delete-prefix, then
+    // rename): the run id is a hash of the pending-file set, which is
+    // stable until the ledger commit, so a crashed attempt's files are
+    // swept and replaced by the retry — exactly-once at file grain even
+    // across crash/retry cycles.
     val resuming = doneKeys.nonEmpty
-    val saveMode =
-      if (resuming) org.apache.spark.sql.SaveMode.Append
-      else org.apache.spark.sql.SaveMode.Overwrite
+    val runId = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(pendingFiles.mkString("\n").getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+    }
+    // Write helper: direct write when not resuming (Overwrite retries are
+    // naturally idempotent); staging + promote when resuming.
+    def writeCommitted(write: (String, org.apache.spark.sql.SaveMode) => Unit,
+        dest: String): Unit =
+      if (!resuming) write(dest, org.apache.spark.sql.SaveMode.Overwrite)
+      else {
+        val staging = s"$dest/.staging-$runId"
+        write(staging, org.apache.spark.sql.SaveMode.Overwrite)
+        promoteStaging(spark, staging, dest, runId)
+      }
     val raw =
       if (pendingFiles.size == allFiles.size) raw0
       else {
@@ -133,7 +153,7 @@ object Main {
     val attrsForMerge = attrs.map { a =>
       Option(cfg.get("attributes_output")) match {
         case Some(p) =>
-          a.write.mode(saveMode).parquet(p.asText())
+          writeCommitted((path, mode) => a.write.mode(mode).parquet(path), p.asText())
           // merge only THIS run's attribute rows (the pending files'
           // docs); on resume the attrs table also holds prior runs' rows
           val all = spark.read.parquet(p.asText())
@@ -192,11 +212,19 @@ object Main {
     def preds(kind: String): Seq[org.apache.spark.sql.Column] =
       filterNode.flatMap(f => Option(f.get(kind))).map(_.elements().asScala.map { n =>
         val s = n.asText()
+        // expose the REST of the document shape (source, metadata, created,
+        // added — whichever the input schema actually has) so fallback jq
+        // predicates like `.source == "cc"` evaluate against real values
+        def jqExtra: Seq[(String, org.apache.spark.sql.Column)] = {
+          val present = withAttrs.columns.toSet
+          Seq("source", "metadata", "created", "added")
+            .filter(present.contains).map(c => c -> col(c))
+        }
         def jqCol() =
           if (kind == "exclude")
-            graft.mixer.Jq.excludeColumn(s, col("attributes"), col("id"), col("content"))
+            graft.mixer.Jq.excludeColumn(s, col("attributes"), col("id"), col("content"), jqExtra)
           else
-            graft.mixer.Jq.includeColumn(s, col("attributes"), col("id"), col("content"))
+            graft.mixer.Jq.includeColumn(s, col("attributes"), col("id"), col("content"), jqExtra)
         if (s == "is_duplicate") col("is_duplicate")
         else if (filterSyntax == "jq") jqCol()
         else
@@ -259,8 +287,11 @@ object Main {
     val outFormat = opt(out, "format").getOrElse("parquet")
     outFormat match {
       case "jsonl" =>
-        graft.sources.Jsonl.writeDocuments(mixed, outPath, mode = saveMode)
-      case _ => mixed.write.mode(saveMode).parquet(outPath)
+        writeCommitted((path, mode) =>
+          graft.sources.Jsonl.writeDocuments(mixed, path, mode = mode), outPath)
+      case _ =>
+        writeCommitted((path, mode) =>
+          mixed.write.mode(mode).parquet(path), outPath)
     }
     val rowsWritten = rowsObs.get.get("rows_written") match {
       case Some(n: Number) => n.longValue()
@@ -301,4 +332,35 @@ object Main {
 
   private def opt(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).map(_.asText())
+
+  /** Promote a resumed run's staged output files into `dest` under the
+    * deterministic `part-r<runId>-` prefix. Any files from a crashed
+    * earlier attempt of the SAME run id are deleted first, so the promote
+    * is idempotent regardless of how far the previous attempt got; the
+    * staging dir name starts with '.' so Hadoop input listings never see
+    * in-flight files. Rename is same-filesystem (staging lives inside
+    * dest), i.e. a metadata move, not a copy — on HDFS/local it is atomic
+    * per file. */
+  private def promoteStaging(spark: SparkSession, staging: String,
+      dest: String, runId: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = s"part-r$runId-"
+    if (!fs.exists(destPath)) fs.mkdirs(destPath)
+    fs.listStatus(destPath).filter(_.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+    val stagingPath = new Path(staging)
+    fs.listStatus(stagingPath)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach { st =>
+        require(fs.rename(st.getPath,
+          new Path(destPath, prefix + st.getPath.getName)),
+          s"promote rename failed for ${st.getPath}")
+      }
+    fs.delete(stagingPath, true)
+  }
 }

@@ -37,6 +37,59 @@ object ScalingBench {
     case _ => orchestrate()
   }
 
+  /** Aggregate /proc/stat cpu ticks: (totalElapsed, steal). On a healthy
+    * guest, total ticks advance at nCpus·CLK_TCK per wall second (idle
+    * counts too); under the sandbox's microVM CPU-quota throttle the
+    * guest is descheduled and ticks simply fail to elapse.
+    */
+  private def procStat(): (Long, Long, Long) = {
+    val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+    (f.sum, if (f.length > 7) f(7) else 0L, if (f.length > 4) f(4) else 0L)
+  }
+
+  private val HostCpus = Runtime.getRuntime.availableProcessors()
+  private val ClkTck = 100L // getconf CLK_TCK on this box
+
+  // ---- ALU frequency calibration ----------------------------------------
+  // The sandbox has a SECOND throttle mode the tick guard cannot see:
+  // under accumulated session burn the host frequency/bandwidth-caps wide
+  // loads — ticks elapse normally while every instruction runs slower
+  // (measured: the pure-ALU probe's 8→32 efficiency collapsed from its
+  // ~0.91 baseline to 0.55 in a degraded window). A short xorshift loop
+  // at each leg's width, run before and after the leg, certifies the
+  // frequency environment; an invocation only counts when the ambient
+  // ALU 8→32 ratio is at its healthy baseline.
+  private def aluWork(seed: Long, iters: Long): Long = {
+    var h = seed; var i = 0L
+    while (i < iters) { h ^= h << 13; h ^= h >>> 7; h ^= h << 17; h += i; i += 1 }
+    h
+  }
+  @volatile private var aluSink = 0L
+
+  /** Per-core Gop/s at `t` threads (one short burst, ~1-2 s). */
+  def aluRate(t: Int, iters: Long = 400_000_000L): Double = {
+    val threads = (0 until t).map(s => new Thread(() => { aluSink ^= aluWork(s, iters) }))
+    val t0 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    iters / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
+
+  /** Ambient ALU 8→32 efficiency (the frequency ceiling any workload
+    * inherits right now). */
+  def aluAmbient(): (Double, Double, Double) = {
+    aluWork(1, 50_000_000L) // JIT warmup
+    val r8 = aluRate(8); val r32 = aluRate(32)
+    (r8, r32, r32 / r8)
+  }
+
+  /** Evidence that a leg ran unthrottled: fraction of the guest's
+    * possible cpu ticks that actually elapsed during the leg's window.
+    */
+  final case class LegTicks(cpus: Int, wallSec: Double, tickFraction: Double,
+                            stealTicks: Long, iowaitTicks: Long,
+                            aluBefore: Double, aluAfter: Double, attempts: Int)
+
   private def orchestrate(): Unit = {
     // large enough that per-job fixed costs (planning, task dispatch) are
     // noise at the high-parallelism level — at 60k docs the 32-core run
@@ -45,7 +98,7 @@ object ScalingBench {
     val javaBin = s"${sys.props("java.home")}/bin/java"
     val cp = sys.props("java.class.path")
 
-    def run(cpus: Int, heapGb: Int): (Double, Double, Long) = {
+    def runOnce(cpus: Int, heapGb: Int): (Double, Double, Long) = {
       val cmd = Seq(javaBin, s"-Xmx${heapGb}g",
         s"-XX:ParallelGCThreads=$cpus") ++ AddOpens ++
         Seq("-cp", cp, "graft.ScalingBench", "child", cpus.toString, nDocs.toString)
@@ -58,6 +111,73 @@ object ScalingBench {
       (p.toDouble, t.toDouble, k.toLong)
     }
 
+    // THROTTLE GUARD (self-certifying legs): the sandbox microVM is
+    // CPU-quota throttled under sustained full-width load (diagnosed in
+    // round 3: /proc/stat advanced ~3.7k of ~32k possible ticks during a
+    // degraded 32-thread window — the guest was descheduled ~85% of it).
+    // Each leg samples /proc/stat around its child JVM; if fewer than 90%
+    // of the possible guest ticks elapsed, the leg is discarded and
+    // retried after an idle cooldown (burst-credit recovery). Every leg's
+    // tick fraction and steal are published with the results.
+    val minTickFraction =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_TICKS", "0.90").toDouble
+    // FREQUENCY GATE (the throttle mode the tick guard cannot see): the
+    // invocation starts only once the ambient pure-ALU 8→32 ratio is at
+    // its healthy baseline, and every leg samples the 32-thread ALU rate
+    // before/after — a leg whose after-sample collapsed below 85% of the
+    // invocation-start healthy rate ran frequency-capped and is retried
+    // after an idle cooldown.
+    val minAluRatio =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MIN_ALU", "0.85").toDouble
+    val maxGateWaits =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_GATE_WAITS", "6").toInt
+    var (gateAlu8, gateAlu32, gateRatio) = aluAmbient()
+    var gateWaits = 0
+    System.err.println(f"DEBUG ambient ALU: 8t $gateAlu8%.3f 32t $gateAlu32%.3f Gop/s/core, 8->32 $gateRatio%.3f")
+    while (gateRatio < minAluRatio && gateWaits < maxGateWaits) {
+      System.err.println(f"DEBUG ambient ALU 8->32 $gateRatio%.3f < $minAluRatio — " +
+        "idling 300s for frequency recovery")
+      Thread.sleep(300000)
+      val a = aluAmbient(); gateAlu8 = a._1; gateAlu32 = a._2; gateRatio = a._3
+      gateWaits += 1
+      System.err.println(f"DEBUG ambient ALU after wait $gateWaits: 8->32 $gateRatio%.3f")
+    }
+    val ambientHealthy = gateRatio >= minAluRatio
+    val aluFloor = gateAlu32 * 0.85
+
+    val maxAttempts = 3
+    def run(cpus: Int, heapGb: Int): ((Double, Double, Long), LegTicks) = {
+      var best: ((Double, Double, Long), LegTicks) = null
+      var attempt = 0
+      var done = false
+      while (!done && attempt < maxAttempts) {
+        attempt += 1
+        val alu0 = aluRate(32, 200_000_000L)
+        val (t0, s0, io0) = procStat(); val w0 = System.nanoTime()
+        val r = runOnce(cpus, heapGb)
+        val (t1, s1, io1) = procStat(); val wall = (System.nanoTime() - w0) / 1e9
+        val alu1 = aluRate(32, 200_000_000L)
+        val frac = (t1 - t0).toDouble / (HostCpus * ClkTck * wall)
+        val leg = LegTicks(cpus, wall, frac, s1 - s0, io1 - io0, alu0, alu1, attempt)
+        val aluOk = math.min(alu0, alu1) >= aluFloor
+        System.err.println(f"DEBUG leg local[$cpus] attempt $attempt: " +
+          f"wall ${wall}%.1fs tickFraction $frac%.3f steal ${s1 - s0} " +
+          f"iowait ${io1 - io0} alu $alu0%.3f->$alu1%.3f (floor $aluFloor%.3f)")
+        if (best == null ||
+            (frac > best._2.tickFraction &&
+              math.min(alu0, alu1) >= math.min(best._2.aluBefore, best._2.aluAfter)))
+          best = (r, leg)
+        if (frac >= minTickFraction && aluOk) done = true
+        else if (attempt < maxAttempts) {
+          val cool = if (aluOk) 60L * attempt else 180L * attempt
+          System.err.println(s"DEBUG leg local[$cpus] THROTTLED " +
+            f"(tickFraction $frac%.3f, aluOk $aluOk); idling ${cool}s for recovery")
+          Thread.sleep(cool * 1000)
+        }
+      }
+      best
+    }
+
     // INTERLEAVED repetitions: sandbox wall-clock drifts ±20-40% on the
     // scale of minutes (multi-tenant host), so sequential level blocks
     // (2,2,8,8,32,32) let one ambient window hit one level only and swing
@@ -67,11 +187,19 @@ object ScalingBench {
     // reported figure is the per-leg MIN across reps (noise-floor
     // estimator), with every per-rep ratio published alongside.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
-    val samples = (1 to reps).map { r =>
+    val measured = (1 to reps).map { r =>
       val s = Seq(run(2, 4), run(8, 12), run(32, 48))
-      System.err.println(s"DEBUG rep $r: " + s.map(x => f"${x._1}%.1f").mkString("/"))
+      System.err.println(s"DEBUG rep $r: " + s.map(x => f"${x._1._1}%.1f").mkString("/"))
       s
     }
+    val samples = measured.map(_.map(_._1))
+    val legEvidence = measured.flatMap(_.map(_._2))
+    val legTable = legEvidence.zipWithIndex.map { case (l, i) =>
+      f"| ${i / 3 + 1} | local[${l.cpus}] | ${l.wallSec}%.1f | ${l.tickFraction}%.3f | ${l.stealTicks} | ${l.iowaitTicks} | ${l.aluBefore}%.3f→${l.aluAfter}%.3f | ${l.attempts} |"
+    }.mkString("\n")
+    val allClean = ambientHealthy && legEvidence.forall(l =>
+      l.tickFraction >= minTickFraction &&
+        math.min(l.aluBefore, l.aluAfter) >= aluFloor)
     val kepts = samples.flatMap(_.map(_._3)).distinct
     require(kepts.size == 1, s"kept rows differ across runs: $kepts")
     val kept2 = kepts.head; val kept8 = kepts.head; val kept32 = kepts.head
@@ -124,7 +252,46 @@ object ScalingBench {
          ||---|---|---|---|---|
          |$repTable
          |
+         |## Per-leg throttle-guard evidence (self-certifying legs)
+         |
+         |Two independent guards, covering the sandbox's two measured
+         |throttle modes:
+         |1. TICK guard: each leg samples /proc/stat around its child JVM.
+         |   tickFraction = elapsed guest cpu ticks / (hostCpus·CLK_TCK·
+         |   wall) — on a healthy guest ≈ 1.0 (idle ticks count); under the
+         |   microVM CPU-quota throttle the guest is descheduled and ticks
+         |   fail to elapse. Legs with tickFraction < $minTickFraction are
+         |   retried after an idle cooldown.
+         |2. FREQUENCY guard: ticks can elapse normally while every
+         |   instruction runs slower (host frequency caps under
+         |   accumulated wide-load burn — the pure-ALU 8→32 probe ratio
+         |   was measured collapsing 0.91→0.55 in a degraded window).
+         |   The invocation starts only once the ambient pure-ALU 8→32
+         |   ratio ≥ $minAluRatio, and every leg samples the 32-thread
+         |   per-core ALU rate before/after; a leg sampling below 85% of
+         |   the invocation-start healthy rate is retried.
+         |
+         |Ambient at invocation start: ALU 8t ${f"$gateAlu8%.3f"} / 32t
+         |${f"$gateAlu32%.3f"} Gop/s/core, 8→32 ratio ${f"$gateRatio%.3f"}
+         |(healthy: $ambientHealthy; per-leg floor ${f"$aluFloor%.3f"}).
+         |
+         || rep | leg | wall (s) | tickFraction | steal ticks | iowait ticks | alu before→after | attempts |
+         ||---|---|---|---|---|---|---|---|
+         |$legTable
+         |
+         |All legs clean (both guards): **$allClean**
+         |
          |Measurement notes:
+         |- Shuffle/spill dirs are on tmpfs (/dev/shm): round 4 diagnosed a
+         |  SECOND sandbox throttle mode — the virtual disk develops
+         |  sustained write throttling (measured ~42 ms average write
+         |  latency; /proc/diskstats showed 11k s of cumulative write-wait)
+         |  that serializes shuffle-heavy stages 3-4x while pure-CPU tag
+         |  stages are unaffected, and that the tick guard cannot see
+         |  (ticks elapse as iowait/idle). A real N→4N cluster brings real
+         |  local disks with each executor; the sandbox disk quota is not
+         |  the property under test. The bench's shuffle footprint
+         |  (hundreds of MB) fits tmpfs trivially.
          |- Single-box control probes bound what ANY workload can score at
          |  8→32 threads here: a pure-ALU loop with zero memory traffic and
          |  zero allocation (graft.tools.FreqProbe) scales at only ~0.91
@@ -171,14 +338,24 @@ object ScalingBench {
       if (Files.exists(variance)) md + "\n" + Files.readString(variance) else md
     Files.writeString(Paths.get("BENCH/BASELINE.md"), full)
     println(md)
-    println(s"""{"metric":"scaling_efficiency","value":$effP28,"unit":"ratio","tag_efficiency":$effT28,"pipeline_eff_8_32":$effP832,"tag_eff_8_32":$effT832,"docs":$nDocs}""")
+    println(f"""{"metric":"scaling_efficiency","value":$effP28,"unit":"ratio","tag_efficiency":$effT28,"pipeline_eff_8_32":$effP832,"tag_eff_8_32":$effT832,"docs":$nDocs,"all_legs_clean":$allClean,"ambient_alu_ratio":$gateRatio%.3f}""")
   }
 
   /** One measurement level (runs in its own JVM). */
   private def child(cpus: Int, nDocs: Long): Unit = {
+    // Shuffle/spill dirs on tmpfs: the sandbox's virtual disk is
+    // write-throttled (measured ~42 ms average write latency mid-session;
+    // /proc/diskstats showed 11k seconds of cumulative write-wait), which
+    // serializes the pipeline's shuffle-heavy stages while leaving pure-CPU
+    // tag stages untouched — a storage-quota artifact, not the scaling
+    // property under test. A real N→4N cluster brings real local disks
+    // with each executor. The bench's shuffle footprint (~hundreds of MB)
+    // fits tmpfs trivially.
+    val localDir = graft.runtime.TmpFs.sparkLocalDir("graft-scale")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-scaling-$cpus")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       // at bench scale (~100MB shuffles) the default 64MB advisory size

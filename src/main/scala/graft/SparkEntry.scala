@@ -691,10 +691,15 @@ object SparkEntry {
         .agg(max(col("total")).as("n_occurrences"), sum(col("dups")).as("n_dups"))
     }),
 
+    // image rows are REAL PNGs decoded by the JDK ImageIO decoder — their
+    // width/height come from the actual decoded raster (the oracle's
+    // formula holds only if the real decode is correct); audio/video stay
+    // on the FakeDecoder seam
     "multimodal_features" -> ((s, _) =>
       graft.multimodal.Multimodal.resizePlan(
         graft.multimodal.Multimodal.extractFeatures(
-          graft.multimodal.Multimodal.syntheticMedia(s, 200L)), maxDim = 256)
+          graft.multimodal.Multimodal.syntheticMedia(s, 200L),
+          new graft.multimodal.Multimodal.ImageIoDecoder()), maxDim = 256)
         .select(col("id"), col("media_type"), col("width"), col("height"),
           col("n_frames"), col("out_width"), col("out_height"))),
 
@@ -887,6 +892,48 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         sha2(rt(col("text")), 256).as("roundtrip_sha"),
         octet_length(col("text")).cast("long").as("n_bytes"))
+    }),
+
+    // HF tokenizer.json vocab loader (graft.ml.HfTokenizer), three checks
+    // per doc: (1) a merge-less byte vocab with SHUFFLED ids — token
+    // count must equal the byte length (exercises file parsing, the
+    // GPT-2 byte-level alphabet, and id lookup; any alphabet/lookup bug
+    // throws or miscounts); (2) the in-repo BPE EXPORTED to the HF
+    // format and re-loaded — decode∘encode must reproduce the text
+    // exactly (exercises merges parsing + decode; exact id-sequence
+    // equality with the original encoder is pinned in MlSpec); (3) the
+    // dolma_v1_tokenizer REGISTRY tagger wired to vocab (1) via
+    // $GRAFT_VOCAB_DIR — score must equal the stripped text's byte
+    // length (reference length.py:163-175 semantics: strip, 0 if blank).
+    // The vocab files are harness-local fixtures written by the driver
+    // JVM (fine at local[32]; on a cluster the caller distributes them).
+    "tag_hf_token_count" -> ((s, dir) => {
+      val vocabDir = java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_vocab")).toString
+      // id shuffle: b -> (167*b + 13) mod 256 (167 odd => bijection)
+      val trivial = graft.ml.HfTokenizer.trivialByteVocabJson(
+        b => (167 * b + 13) % 256)
+      val trivialPath = java.nio.file.Paths.get(vocabDir, "dolma_v1_tokenizer.json")
+      val bpePath = java.nio.file.Paths.get(vocabDir, "code_bpe.json")
+      java.nio.file.Files.write(trivialPath, trivial.getBytes("UTF-8"))
+      java.nio.file.Files.write(bpePath, Models.codeBpeHfJson.getBytes("UTF-8"))
+      sys.props("GRAFT_VOCAB_DIR") = vocabDir
+      val tp = trivialPath.toString; val bp = bpePath.toString
+      val nTok = udf((t: String) =>
+        graft.ml.HfTokenizer.loadCached(tp)
+          .countTokens(if (t == null) "" else t).toLong)
+      val rt = udf((t: String) => {
+        val tok = graft.ml.HfTokenizer.loadCached(bp)
+        tok.decode(tok.encode(if (t == null) "" else t).toIndexedSeq)
+      })
+      val v1 = udf((t: String) =>
+        graft.taggers.TaggerRegistry.resolve("dolma_v1_tokenizer")
+          .predict(if (t == null) "" else t).head.score.toLong)
+      docs(s, dir).select(col("doc_id"),
+        nTok(col("text")).as("n_tokens_bytes"),
+        sha2(rt(col("text")), 256).as("hf_roundtrip_sha"),
+        v1(col("text")).as("v1_tokens"))
     })
   )
 
@@ -1414,6 +1461,17 @@ object SparkEntry {
           | strlen(text) AS n_bytes
           |FROM documents""".stripMargin,
 
+      // HF vocab loader: a merge-less byte vocab tokenizes every UTF-8
+      // byte to one token (count = strlen); the exported in-repo BPE must
+      // round-trip to the exact text; the dolma_v1_tokenizer tagger
+      // strips first (reference length.py:172-175)
+      "tag_hf_token_count" ->
+        """SELECT doc_id,
+          | strlen(text) AS n_tokens_bytes,
+          | sha256(text) AS hf_roundtrip_sha,
+          | strlen(trim(text, ' ' || chr(9) || chr(10) || chr(13))) AS v1_tokens
+          |FROM documents""".stripMargin,
+
       // first-occurrence n-gram overlap; grams keyed by their string in
       // SQL (the Spark xxhash64 key is identity-only)
       "dedup_ngram_overlap" ->
@@ -1583,6 +1641,10 @@ object Models {
     * subword vocabulary for the token sink (the reference's pretrained HF
     * vocabs are not fetchable offline; the ALGORITHM is the deliverable). */
   lazy val codeBpe: graft.ml.Bpe = graft.ml.Bpe.train(lmCorpus, numMerges = 512)
+
+  /** [[codeBpe]] serialized to the public HF tokenizer.json format — the
+    * loader's round-trip fixture (oracle `tag_hf_token_count`, MlSpec). */
+  lazy val codeBpeHfJson: String = graft.ml.HfTokenizer.fromBpe(codeBpe)
 
   /** Word-keyed dump of [[codeLm2]]'s hash tables — (word, logP, logBackoff)
     * and (w1, w2, logP) — recovered by re-walking the training corpus

@@ -88,16 +88,21 @@ object MinHashLSH {
     * `minJaccard - estSlack` before any text is fetched: at 100 TB the
     * raw bucket-collision pair set is far larger than the near-dup set,
     * and without the prefilter every colliding pair flows into two text
-    * joins. The slack absorbs minhash estimation error — with 32 perms
-    * the estimator's std at s=0.5 is sqrt(s(1-s)/32) ≈ 0.088, so 0.15 is
-    * ~1.7σ; pairs the prefilter drops are overwhelmingly true negatives
-    * the exact join would have discarded anyway. */
+    * joins. The slack absorbs minhash estimation error; the default
+    * (estSlack = NaN) derives ~3σ of the estimator's worst-case std,
+    * `3·sqrt(0.25/numPerms)` (≈ 0.265 at 32 perms), so a true pair right
+    * at `minJaccard` is dropped with probability ~1e-3 — below the
+    * documented banding miss, not on top of it. Pass an explicit smaller
+    * slack only when the collision pair set is the dominant cost and the
+    * extra recall is worth trading away. */
   def verifiedNearDuplicatePairs(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, numPerms: Int = 32, bands: Int = 16,
       minJaccard: Double = 0.5, maxBucketSize: Int = 1000,
-      estSlack: Double = 0.15): DataFrame = {
+      estSlack: Double = Double.NaN): DataFrame = {
+    val slack =
+      if (estSlack.isNaN) 3.0 * math.sqrt(0.25 / numPerms) else estSlack
     val cand = nearDuplicatePairs(df, idCol, textCol, k, numPerms, bands,
-      minJaccard = math.max(0.0, minJaccard - estSlack),
+      minJaccard = math.max(0.0, minJaccard - slack),
       maxBucketSize = maxBucketSize)
       .select(col("id_a"), col("id_b"))
     val texts = df.select(idCol.as("__tid"), textCol.as("__ttext"))

@@ -104,22 +104,19 @@ object Analyzer {
       if (kthRow.isNullAt(0))
         return grams.groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
       val kth = kthRow.getLong(0)
-      // all hash pairs tied with or above the boundary — O(k) rows to the
-      // driver; a corpus where >50k·k grams tie at the k-th count has no
-      // meaningful top-k and is rejected rather than silently truncated
-      val maxCand = math.max(50000 * k, 100000)
-      val cand = counts.filter(col("cnt") >= kth)
-        .select(col("h1"), col("h2")).limit(maxCand).collect()
-      require(cand.length < maxCand,
-        s"top-$k n-grams: >$maxCand grams tie at the k-th count boundary")
-      val spark = df.sparkSession
-      val candDf = spark.createDataFrame(
-        java.util.Arrays.asList(cand: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("h1",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("h2",
-            org.apache.spark.sql.types.IntegerType))))
+      // candidates = all hash pairs tied with or above the boundary. They
+      // stay DISTRIBUTED — broadcast-semi-joined against the gram stream,
+      // never collected; the only values the driver ever sees are the kth
+      // scalar and this guard count. A corpus where >50k·k grams tie at
+      // the k-th count has no meaningful top-k and is rejected rather
+      // than silently truncated (and would otherwise overrun the
+      // broadcast).
+      val candDf = counts.filter(col("cnt") >= kth)
+        .select(col("h1"), col("h2"))
+      val maxCand = math.max(50000L * k, 100000L)
+      val nCand = candDf.count()
+      require(nCand < maxCand,
+        s"top-$k n-grams: $nCand grams tie at the k-th count boundary (max $maxCand)")
       // resolve pass: only candidate grams survive the broadcast semi-join
       // into the string groupBy
       grams

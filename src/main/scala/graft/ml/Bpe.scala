@@ -13,10 +13,11 @@ import scala.collection.mutable
   * Training: start from the 256 single-byte tokens; repeatedly merge the
   * most frequent adjacent pair (ties broken by lowest id pair — fully
   * deterministic) until `numMerges` merges exist. Pieces never merge
-  * across pre-token boundaries; pre-tokenization is whitespace-preserving
-  * GPT-2-style via [[graft.taggers.LengthTaggers.OlmoPreTokenizer]]'s
-  * byte-level regex family (here: split before each space run so leading
-  * spaces attach to the following word, the GPT-2 convention).
+  * across pre-token boundaries; pre-tokenization is the GPT-2 ByteLevel
+  * regex ([[graft.taggers.LengthTaggers.OlmoPreTokenizer.gpt2Pieces]]) —
+  * the same pipeline the HF-format export declares, so a model exported
+  * via [[HfTokenizer.fromBpe]] and re-loaded reproduces identical id
+  * sequences.
   *
   * Encoding is the standard lowest-rank merge loop; decoding concatenates
   * the learned byte sequences — `decode(encode(s)) == s` for EVERY
@@ -94,28 +95,12 @@ final class Bpe(
 
 object Bpe {
 
-  /** GPT-2-style whitespace-preserving pre-tokenization: split so each
-    * piece is a maximal run of non-space characters with its preceding
-    * space run attached (" hello") — merges never cross these
-    * boundaries. Exhaustive (pieces concatenate back to the input). */
-  def pretokenize(text: String): Vector[String] = {
-    if (text.isEmpty) return Vector.empty
-    val out = Vector.newBuilder[String]
-    var start = 0
-    var i = 0
-    def isSp(c: Char) = Character.isWhitespace(c)
-    while (i < text.length) {
-      // a piece = [whitespace run][non-whitespace run] (either may be
-      // empty, not both)
-      var j = i
-      while (j < text.length && isSp(text.charAt(j))) j += 1
-      while (j < text.length && !isSp(text.charAt(j))) j += 1
-      out += text.substring(start, j)
-      i = j
-      start = j
-    }
-    out.result()
-  }
+  /** GPT-2 ByteLevel(use_regex) pre-tokenization: the published GPT-2
+    * regex tiles the input exhaustively (pieces concatenate back to the
+    * input), keeping leading spaces attached to the following word —
+    * merges never cross piece boundaries. */
+  def pretokenize(text: String): Vector[String] =
+    graft.taggers.LengthTaggers.OlmoPreTokenizer.gpt2Pieces(text)
 
   /** Deterministic training. */
   def train(corpus: Seq[String], numMerges: Int = 512): Bpe = {
@@ -173,6 +158,74 @@ object Bpe {
         }
       }
     }
+    new Bpe(merges.toMap, vocab.toArray)
+  }
+
+  /** Distributed trainer: identical merges to [[train]] (same counts,
+    * same ties), with the corpus-scale work distributed — the 100 TB
+    * shape. The driver never holds the piece table: per iteration the
+    * adjacent-pair counts are a `reduceByKey` over the distributed
+    * distinct-piece table (map-side combined, O(distinct pairs) shuffle
+    * rows) and only the single argmax pair comes back (`takeOrdered(1)`
+    * with the exact (-count, idA, idB) tie order of [[train]]); the
+    * merge is then applied as a narrow `map`. The piece table is an RDD
+    * by design — 512 sequential `Dataset.map` steps would build a
+    * 512-deep Catalyst plan re-analyzed every iteration; the RDD pays no
+    * per-iteration planning and is truncated with `localCheckpoint`
+    * every `checkpointEvery` merges to bound lineage. Training is a
+    * one-off: determinism, not wall-clock, is the contract (spec pins
+    * merge-for-merge equality with [[train]]). */
+  def trainDistributed(corpus: org.apache.spark.sql.Dataset[String],
+      numMerges: Int = 512, checkpointEvery: Int = 16): Bpe = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var seqs: org.apache.spark.rdd.RDD[(Array[Int], Long)] = corpus
+      .flatMap(t => pretokenize(if (t == null) "" else t))
+      .groupBy("value").count()
+      .as[(String, Long)].rdd
+      .map { case (p, c) => (p.getBytes("UTF-8").map(_ & 0xff), c) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val merges = mutable.HashMap.empty[(Int, Int), Int]
+    val vocab = mutable.ArrayBuffer.empty[Array[Byte]]
+    (0 until 256).foreach(b => vocab += Array(b.toByte))
+
+    implicit val ord: Ordering[((Int, Int), Long)] =
+      Ordering.by { case ((a, b), c) => (-c, a, b) }
+    var m = 0
+    var exhausted = false
+    try {
+      while (m < numMerges && !exhausted) {
+        val best = seqs.flatMap { case (ids, c) =>
+          (0 until ids.length - 1).iterator.map(i => ((ids(i), ids(i + 1)), c))
+        }.reduceByKey(_ + _).takeOrdered(1)
+        best.headOption match {
+          case Some(((a, b), cnt)) if cnt >= 2 =>
+            val newId = vocab.length
+            merges.update((a, b), newId)
+            vocab += (vocab(a) ++ vocab(b))
+            val prev = seqs
+            seqs = prev.map { case (ids, c) =>
+              if (ids.length < 2) (ids, c)
+              else {
+                val out = new mutable.ArrayBuffer[Int](ids.length)
+                var i = 0
+                while (i < ids.length) {
+                  if (i < ids.length - 1 && ids(i) == a && ids(i + 1) == b) {
+                    out += newId; i += 2
+                  } else { out += ids(i); i += 1 }
+                }
+                (out.toArray, c)
+              }
+            }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            if ((m + 1) % checkpointEvery == 0) seqs.localCheckpoint()
+            seqs.count()
+            prev.unpersist(blocking = false)
+            m += 1
+          case _ => exhausted = true // nothing repeats (or empty corpus)
+        }
+      }
+    } finally seqs.unpersist(blocking = false)
     new Bpe(merges.toMap, vocab.toArray)
   }
 }

@@ -1,0 +1,231 @@
+package graft.ml
+
+import scala.collection.mutable
+
+/** Loader/encoder for the public Hugging Face `tokenizer.json` format
+  * (the `tokenizers` crate serialization): a byte-level BPE model —
+  * `model.vocab` maps token strings to ids, `model.merges` lists merge
+  * pairs in rank order, and token strings use the GPT-2 byte-to-unicode
+  * alphabet (Radford 2019, gpt-2/src/encoder.py `bytes_to_unicode`).
+  *
+  * This closes the reference's last vocab-dependent registry gap: the
+  * `dolma_v1_tokenizer` / `dolma_v2_tokenizer` taggers
+  * (reference taggers/length.py:163-178) load pretrained vocabs from the
+  * HF hub, which is unreachable offline — here the caller provides the
+  * same public-format file via `$GRAFT_VOCAB_DIR/<tagger>.json` (or
+  * `$GRAFT_VOCAB_FILE` for all names), the convention the URL-blocklist
+  * taggers already use for their list data.
+  *
+  * The model is immutable and Serializable — broadcast it; encode inside
+  * mapPartitions or a UDF. Encoding is the standard lowest-rank merge
+  * loop; byte-level alphabets have no unk, and a vocab that fails to
+  * cover its own alphabet fails loudly rather than skipping tokens.
+  */
+final class HfTokenizer(
+    val vocab: Map[String, Int],
+    idToToken: Map[Int, String],
+    ranks: Map[(String, String), Int],
+    pretokKind: String) extends Serializable {
+
+  def vocabSize: Int = vocab.size
+
+  private def pretokenize(text: String): Vector[String] = pretokKind match {
+    case "olmo" => graft.taggers.LengthTaggers.OlmoPreTokenizer.pieces(text)
+    case _ => graft.taggers.LengthTaggers.OlmoPreTokenizer.gpt2Pieces(text)
+  }
+
+  /** One pre-token piece: bytes → byte-level chars → merge loop → ids. */
+  private def encodePiece(piece: String): Vector[Int] = {
+    val bytes = piece.getBytes("UTF-8")
+    if (bytes.isEmpty) return Vector.empty
+    var syms = new mutable.ArrayBuffer[String](bytes.length)
+    bytes.foreach(b => syms += HfTokenizer.byteToChar(b & 0xff))
+    var done = false
+    while (!done && syms.length >= 2) {
+      var best = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < syms.length - 1) {
+        ranks.get((syms(j), syms(j + 1))) match {
+          case Some(r) if r < best => best = r; bestAt = j
+          case _ =>
+        }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val a = syms(bestAt); val b = syms(bestAt + 1); val merged = a + b
+        val out = new mutable.ArrayBuffer[String](syms.length)
+        var k = 0
+        while (k < syms.length) {
+          if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
+            out += merged; k += 2
+          } else { out += syms(k); k += 1 }
+        }
+        syms = out
+      }
+    }
+    syms.iterator.map { s =>
+      vocab.getOrElse(s, throw new NoSuchElementException(
+        s"token '$s' not in vocab (${vocab.size} entries) — the vocab file " +
+          "does not cover its own byte-level alphabet"))
+    }.toVector
+  }
+
+  def encode(text: String): Array[Int] =
+    pretokenize(text).iterator.flatMap(encodePiece).toArray
+
+  def countTokens(text: String): Int = encode(text).length
+
+  def decode(ids: Seq[Int]): String = {
+    val chars = new StringBuilder
+    ids.foreach { id =>
+      chars ++= idToToken.getOrElse(id, throw new NoSuchElementException(
+        s"unknown token id $id"))
+    }
+    val bytes = new java.io.ByteArrayOutputStream(chars.length)
+    chars.foreach(c => bytes.write(HfTokenizer.charToByte(c)))
+    new String(bytes.toByteArray, "UTF-8")
+  }
+}
+
+object HfTokenizer {
+
+  // ---- GPT-2 byte-level alphabet ----------------------------------------
+  // bytes_to_unicode: printable latin-1 ranges map to themselves; the
+  // remaining 68 bytes map to U+0100.. in ascending byte order.
+  private val byteToCharArr: Array[Char] = {
+    val out = new Array[Char](256)
+    val direct = (('!'.toInt to '~'.toInt) ++ (0xa1 to 0xac) ++ (0xae to 0xff)).toSet
+    var n = 0
+    (0 until 256).foreach { b =>
+      if (direct(b)) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+  private val charToByteMap: Map[Char, Int] =
+    byteToCharArr.zipWithIndex.map { case (c, b) => c -> b }.toMap
+
+  def byteToChar(b: Int): String = String.valueOf(byteToCharArr(b))
+  def charToByte(c: Char): Int =
+    charToByteMap.getOrElse(c, throw new NoSuchElementException(
+      f"char U+${c.toInt}%04X is not in the byte-level alphabet"))
+
+  // ---- loading ----------------------------------------------------------
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Parse a `tokenizer.json` string. Accepts both published merge
+    * shapes: `["tokA tokB", ...]` and `[["tokA","tokB"], ...]`. The
+    * pre-tokenizer section selects the piece pipeline: a plain ByteLevel
+    * (or absent) uses the GPT-2 regex; a Sequence (the OLMo
+    * Split-punct/Split-digit/ByteLevel pipeline, reference
+    * length.py:124-143) uses the OLMo pieces. */
+  def parse(json: String): HfTokenizer = {
+    import scala.jdk.CollectionConverters._
+    val root = mapper.readTree(json)
+    val model = root.get("model")
+    require(model != null && model.get("vocab") != null,
+      "not an HF tokenizer.json: missing model.vocab")
+    val mtype = Option(model.get("type")).map(_.asText()).getOrElse("BPE")
+    require(mtype == "BPE", s"unsupported model.type '$mtype' (only BPE)")
+    val vocab = model.get("vocab").fields().asScala
+      .map(e => e.getKey -> e.getValue.asInt()).toMap
+    val merges = Option(model.get("merges")).map(_.elements().asScala.zipWithIndex.map {
+      case (n, rank) =>
+        val (a, b) =
+          if (n.isArray) (n.get(0).asText(), n.get(1).asText())
+          else {
+            val s = n.asText(); val sp = s.indexOf(' ')
+            require(sp > 0, s"malformed merge entry '$s'")
+            (s.substring(0, sp), s.substring(sp + 1))
+          }
+        (a, b) -> rank
+    }.toMap).getOrElse(Map.empty)
+    val pretokKind = Option(root.get("pre_tokenizer"))
+      .flatMap(p => Option(p.get("type")).map(_.asText())) match {
+      case Some("Sequence") => "olmo"
+      case _ => "gpt2"
+    }
+    new HfTokenizer(vocab, vocab.map(_.swap), merges, pretokKind)
+  }
+
+  def load(path: String): HfTokenizer =
+    parse(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"))
+
+  // per-JVM cache: tagger instances are constructed per executor inside
+  // mapPartitions; the parsed model is shared across them
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, HfTokenizer]
+  def loadCached(path: String): HfTokenizer = cache.getOrElseUpdate(path, load(path))
+
+  /** Resolve the vocab file for a tagger name: `$GRAFT_VOCAB_DIR/<name>
+    * .json` first, then `$GRAFT_VOCAB_FILE` (system property or env var,
+    * property wins — the URL-list convention). */
+  def forTaggerName(name: String): HfTokenizer = {
+    def setting(key: String): Option[String] =
+      sys.props.get(key).orElse(sys.env.get(key)).filter(_.nonEmpty)
+    val fromDir = setting("GRAFT_VOCAB_DIR").map(d => s"$d/$name.json")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    val path = fromDir.orElse(setting("GRAFT_VOCAB_FILE")).getOrElse(
+      throw new IllegalStateException(
+        s"tagger '$name' needs a pretrained vocab the reference fetches from " +
+          "the HF hub (allenai/gpt-neox-olmo-dolma-v1_5 / allenai/dolma2-tokenizer). " +
+          s"Provide the public tokenizer.json as $$GRAFT_VOCAB_DIR/$name.json " +
+          "or $GRAFT_VOCAB_FILE (system property or environment variable)."))
+    loadCached(path)
+  }
+
+  /** A merge-less byte-alphabet vocab in HF format with ids assigned by
+    * `idOf` (any bijection on 0..255). With no merges, every UTF-8 byte
+    * becomes one token, so the token count of any text equals its byte
+    * length — an analytically replayable oracle for the loader and the
+    * byte-level alphabet mapping, with id lookup genuinely exercised when
+    * `idOf` is not the identity. */
+  def trivialByteVocabJson(idOf: Int => Int): String = {
+    val node = mapper.createObjectNode()
+    node.put("version", "1.0")
+    val pre = node.putObject("pre_tokenizer")
+    pre.put("type", "ByteLevel"); pre.put("add_prefix_space", false)
+    pre.put("use_regex", true)
+    val model = node.putObject("model")
+    model.put("type", "BPE")
+    val vocabNode = model.putObject("vocab")
+    (0 until 256).foreach(b => vocabNode.put(byteToChar(b), idOf(b)))
+    model.putArray("merges")
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  // ---- export (round-trip proof for the loader) -------------------------
+  /** Serialize an in-repo [[Bpe]] model to the HF tokenizer.json format.
+    * Ids are preserved (bytes 0-255 then merge-creation order), so a
+    * loaded copy must reproduce the exact id sequences of the original
+    * encoder — the loader's round-trip spec. */
+  def fromBpe(bpe: Bpe): String = {
+    def tokenStr(id: Int): String = {
+      val sb = new StringBuilder
+      bpe.vocabBytes(id).foreach(b => sb ++= byteToChar(b & 0xff))
+      sb.toString
+    }
+    val node = mapper.createObjectNode()
+    node.put("version", "1.0")
+    val pre = node.putObject("pre_tokenizer")
+    pre.put("type", "ByteLevel"); pre.put("add_prefix_space", false)
+    pre.put("use_regex", true)
+    val model = node.putObject("model")
+    model.put("type", "BPE")
+    val vocabNode = model.putObject("vocab")
+    val seen = mutable.HashSet.empty[String]
+    (0 until bpe.vocabSize).foreach { id =>
+      val t = tokenStr(id)
+      require(seen.add(t),
+        s"duplicate surface form '$t' in BPE vocab — not exportable to the HF map format")
+      vocabNode.put(t, id)
+    }
+    val mergesNode = model.putArray("merges")
+    bpe.merges.toSeq.sortBy(_._2).foreach { case ((a, b), _) =>
+      mergesNode.add(s"${tokenStr(a)} ${tokenStr(b)}")
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+}

@@ -68,6 +68,52 @@ object Multimodal {
     }
   }
 
+  /** REAL image decoding via the JDK's own ImageIO (PNG/JPEG/GIF/BMP —
+    * no external dependency): dimensions from the actual decoded raster
+    * and a pixel-derived embedding (4×4 grid of mean luminance, row-major,
+    * normalized to [0,1]) — a genuine decode→feature path. Non-image
+    * media and payloads ImageIO cannot parse delegate to `fallback`
+    * (the [[FakeDecoder]] seam), which remains the declared stub for
+    * audio/video codecs. */
+  final class ImageIoDecoder(fallback: MediaDecoder = FakeDecoder)
+      extends MediaDecoder {
+    def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (mediaType != "image") return fallback.decode(mediaType, format, payload)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return fallback.decode(mediaType, format, payload)
+      val w = img.getWidth; val h = img.getHeight
+      // 4x4 grid mean luminance (Rec.601 weights), row-major
+      val emb = new Array[Float](16)
+      var gy = 0
+      while (gy < 4) {
+        var gx = 0
+        while (gx < 4) {
+          val x0 = gx * w / 4; val x1 = math.max((gx + 1) * w / 4, x0 + 1)
+          val y0 = gy * h / 4; val y1 = math.max((gy + 1) * h / 4, y0 + 1)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+              sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          emb(gy * 4 + gx) = if (n == 0) 0f else (sum / n).toFloat
+          gx += 1
+        }
+        gy += 1
+      }
+      (w, h, 1, emb)
+    }
+  }
+
   /** Feature extraction over a media table: one decoder instance per
     * partition, rows processed in order (a real decoder would batch). */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = FakeDecoder): DataFrame = {
@@ -131,10 +177,14 @@ object Multimodal {
           .otherwise(floor(col("height") * maxDim / mx)).cast("int"))
   }
 
-  /** Deterministic synthetic media table for tests/bench: each payload is
-    * a "GRFT" container — 9-byte header (magic, u16 width = 64+(i*37)%512,
-    * u16 height = 64+(i*53)%512, u8 frames = video ? 1+(i*29)%64 : 1)
-    * followed by hash-noise body bytes. */
+  /** Deterministic synthetic media table for tests/bench. Image rows are
+    * REAL PNGs (encoded with the JDK's ImageIO) of width 64+(i*37)%512,
+    * height 64+(i*53)%512, filled with the constant gray (i*7)%256 — so
+    * [[ImageIoDecoder]] exercises a genuine decode whose dimensions and
+    * mean luminance are analytically known. Audio/video payloads remain
+    * "GRFT" containers — 9-byte header (magic, u16 width, u16 height, u8
+    * frames = video ? 1+(i*29)%64 : 1) plus hash-noise body — for the
+    * [[FakeDecoder]] seam. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -146,14 +196,33 @@ object Multimodal {
       }
       val w = 64 + ((i * 37) % 512).toInt
       val h = 64 + ((i * 53) % 512).toInt
-      val frames = if (mediaType == "video") 1 + ((i * 29) % 64).toInt else 1
-      val header = Array[Byte]('G', 'R', 'F', 'T',
-        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
-        ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
-        (frames & 0xff).toByte)
-      val body = Array.tabulate(119)(j =>
-        (graft.functions.Hashing.mix64(i * 131 + j) & 0xff).toByte)
-      (s"m$i", mediaType, fmt, header ++ body)
+      val payload = if (mediaType == "image") {
+        syntheticPng(w, h, ((i * 7) % 256).toInt)
+      } else {
+        val frames = if (mediaType == "video") 1 + ((i * 29) % 64).toInt else 1
+        val header = Array[Byte]('G', 'R', 'F', 'T',
+          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+          (frames & 0xff).toByte)
+        val body = Array.tabulate(119)(j =>
+          (graft.functions.Hashing.mix64(i * 131 + j) & 0xff).toByte)
+        header ++ body
+      }
+      (s"m$i", mediaType, fmt, payload)
     }.toDF("id", "media_type", "format", "payload")
+  }
+
+  /** A real PNG of the given dimensions filled with a constant gray. */
+  def syntheticPng(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    try {
+      g2.setColor(new java.awt.Color(gray, gray, gray))
+      g2.fillRect(0, 0, w, h)
+    } finally g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer")
+    out.toByteArray
   }
 }

@@ -1,0 +1,17 @@
+package graft.runtime
+
+/** Spark local-dir selection for the sandbox harnesses (Bench /
+  * ScalingBench / Verify): the sandbox's virtual disk is write-throttled
+  * under sustained load (measured ~42 ms average write latency), which
+  * serializes shuffle-heavy stages while pure-CPU stages run at speed.
+  * Shuffle/spill data goes to tmpfs when available — a real cluster
+  * brings real local disks with each executor; the sandbox disk quota is
+  * not a property any harness here measures. */
+object TmpFs {
+  def sparkLocalDir(sub: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createDirectories(shm.resolve(sub)).toString
+    else sys.props("java.io.tmpdir")
+  }
+}

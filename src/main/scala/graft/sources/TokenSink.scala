@@ -57,6 +57,23 @@ object TokenSink {
     enc(textCol)
   }
 
+  /** Pretrained-vocab ids via an HF-format `tokenizer.json`
+    * ([[graft.ml.HfTokenizer]]) — the reference's own tokenizer data
+    * path (tokenizer.py loads the same file format from the hub). Ids
+    * are the vocab's NATIVE ids (no shift: a pretrained file defines its
+    * own special ids); `eosId` appends the file's eos when given. The
+    * model loads once per executor from `vocabPath` (cached), so only
+    * the path string rides the closure. */
+  def hfTokenIds(textCol: Column, vocabPath: String,
+      eosId: Option[Int] = None): Column = {
+    val enc = org.apache.spark.sql.functions.udf((s: String) => {
+      val ids = graft.ml.HfTokenizer.loadCached(vocabPath)
+        .encode(if (s == null) "" else s)
+      eosId.map(ids :+ _).getOrElse(ids)
+    })
+    enc(textCol)
+  }
+
   val metadataSchema: StructType = StructType(Seq(
     StructField("id", StringType, nullable = false),
     StructField("shard", StringType, nullable = false),

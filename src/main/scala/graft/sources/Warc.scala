@@ -254,42 +254,149 @@ object Warc {
   }
 }
 
-/** Minimal real HTML → text linearizer (stand-in for resiliparse,
-  * warc/linearizers.py; registered behind one function so a better
-  * engine can be swapped in): drops script/style/comments, renders block
-  * tags as newlines, strips remaining tags, decodes common entities,
-  * collapses horizontal whitespace. */
+/** Real HTML → text linearizer (stand-in for resiliparse's
+  * `extract_plain_text`, warc/linearizers.py:35-91, at the reference's
+  * configuration: preserve_formatting + list_bullets on, alt_texts /
+  * links / form_fields / noscript off; registered behind one function so
+  * a better engine can be swapped in). Semantics aligned with
+  * resiliparse's documented behavior:
+  *  - INLINE tags (a/b/i/em/strong/span/code/...) vanish without
+  *    inserting whitespace — `wro<b>ng</b>` linearizes to `wrong`;
+  *  - block-level tags and `<br>` break lines;
+  *  - list items get bullets (`\u2022 `) and ordered-list numbers
+  *    (`1. `), with counters tracked per nesting level (indentation is
+  *    not reproduced — lines are left-trimmed);
+  *  - script/style/noscript/template/iframe/svg/head content is dropped;
+  *  - character references decode, named (the common set) and numeric
+  *    (`&#NNN;` / `&#xHH;`);
+  *  - horizontal whitespace collapses, blank lines drop.
+  */
 object Linearizer {
 
-  private val BlockTags = Set("p", "div", "br", "li", "ul", "ol", "h1", "h2",
-    "h3", "h4", "h5", "h6", "tr", "table", "section", "article", "header",
-    "footer", "blockquote", "pre")
+  private val BlockTags = Set("p", "div", "li", "ul", "ol", "dl", "dt", "dd",
+    "h1", "h2", "h3", "h4", "h5", "h6", "tr", "table", "thead", "tbody",
+    "tfoot", "caption", "section", "article", "aside", "header", "footer",
+    "nav", "main", "blockquote", "pre", "figure", "figcaption", "address",
+    "hr", "form", "fieldset", "details", "summary")
+  // content dropped entirely (head covers title/meta; noscript is off in
+  // the reference's linearizer config)
+  private val HiddenTags = Set("script", "style", "noscript", "template",
+    "iframe", "svg", "head", "object", "select", "textarea", "button")
+  // table cells separate with a space so row text doesn't fuse
+  private val CellTags = Set("td", "th")
+
+  private val NamedEntities = Map(
+    "nbsp" -> " ", "amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "hellip" -> "\u2026",
+    "mdash" -> "\u2014", "ndash" -> "\u2013", "rsquo" -> "\u2019",
+    "lsquo" -> "\u2018", "ldquo" -> "\u201c", "rdquo" -> "\u201d",
+    "copy" -> "\u00a9", "reg" -> "\u00ae", "trade" -> "\u2122",
+    "middot" -> "\u00b7", "bull" -> "\u2022", "laquo" -> "\u00ab",
+    "raquo" -> "\u00bb", "shy" -> "", "times" -> "\u00d7",
+    "divide" -> "\u00f7", "deg" -> "\u00b0", "plusmn" -> "\u00b1")
+  private val EntityRe =
+    java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
+
+  private def decodeEntities(s: String): String = {
+    val m = EntityRe.matcher(s)
+    // java.lang.StringBuilder: the (CharSequence, start, end) append —
+    // Scala's StringBuilder would silently auto-tuple a 3-arg append
+    val out = new java.lang.StringBuilder(s.length)
+    var last = 0
+    while (m.find()) {
+      out.append(s, last, m.start())
+      val body = m.group(1)
+      val rep =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try String.valueOf(Character.toChars(Integer.parseInt(body.substring(2), 16)))
+          catch { case _: Exception => m.group() }
+        else if (body.startsWith("#"))
+          try String.valueOf(Character.toChars(Integer.parseInt(body.substring(1))))
+          catch { case _: Exception => m.group() }
+        else NamedEntities.getOrElse(body, m.group())
+      out.append(rep)
+      last = m.end()
+    }
+    out.append(s, last, s.length)
+    out.toString
+  }
 
   def linearize(html: String): String = {
-    val noScript = html
-      .replaceAll("(?is)<head(?![a-z])[^>]*>.*?</head\\s*>", " ")
-      .replaceAll("(?is)<(script|style)[^>]*>.*?</\\1>", " ")
-      .replaceAll("(?s)<!--.*?-->", " ")
-    val sb = new StringBuilder(noScript.length)
+    val src = html.replaceAll("(?s)<!--.*?-->", " ")
+    val lower = src.toLowerCase
+    val sb = new StringBuilder(src.length)
+    // ordered-list state per nesting level: -1 = ul, >=1 = next ol number
+    val listStack = scala.collection.mutable.Stack.empty[Int]
+    var hiddenDepth = 0
+    var hiddenTag = "" // the hidden element we are inside
     var i = 0
-    while (i < noScript.length) {
-      val c = noScript.charAt(i)
+    while (i < src.length) {
+      val c = src.charAt(i)
       if (c == '<') {
-        val close = noScript.indexOf('>', i)
-        if (close < 0) i = noScript.length
-        else {
-          val inner = noScript.substring(i + 1, close).stripPrefix("/")
-          val name = inner.takeWhile(ch => ch.isLetterOrDigit).toLowerCase
-          if (BlockTags.contains(name)) sb.append('\n') else sb.append(' ')
-          i = close + 1
+        // find tag end respecting quoted attribute values
+        var j = i + 1
+        var quote: Char = 0
+        while (j < src.length && (quote != 0 || src.charAt(j) != '>')) {
+          val ch = src.charAt(j)
+          if (quote != 0) { if (ch == quote) quote = 0 }
+          else if (ch == '"' || ch == '\'') quote = ch
+          j += 1
         }
-      } else { sb.append(c); i += 1 }
+        if (j >= src.length) i = src.length
+        else {
+          val inner = src.substring(i + 1, j)
+          val isClose = inner.startsWith("/")
+          val selfClose = inner.endsWith("/")
+          val name = inner.stripPrefix("/")
+            .takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+          if (hiddenDepth > 0) {
+            // only same-name tags nest/unnest the hidden element
+            if (name == hiddenTag) {
+              if (isClose) hiddenDepth -= 1 else if (!selfClose) hiddenDepth += 1
+            }
+          } else if (HiddenTags.contains(name)) {
+            if (!isClose && !selfClose) {
+              // script/style are raw-text elements: their content may hold
+              // literal '<', so skip straight to the real close tag
+              if (name == "script" || name == "style") {
+                val end = lower.indexOf(s"</$name", j)
+                if (end < 0) j = src.length
+                else {
+                  val gt = src.indexOf('>', end)
+                  j = if (gt < 0) src.length else gt
+                }
+              } else { hiddenDepth = 1; hiddenTag = name }
+            }
+            sb.append(' ')
+          } else if (name == "br") {
+            sb.append('\n')
+          } else if (name == "li") {
+            if (!isClose) {
+              val marker = if (listStack.nonEmpty && listStack.top >= 1) {
+                val n = listStack.pop(); listStack.push(n + 1); s"$n. "
+              } else "\u2022 "
+              sb.append('\n').append(marker)
+            } else sb.append('\n')
+          } else if (name == "ul" || name == "ol") {
+            if (!isClose && !selfClose) listStack.push(if (name == "ol") 1 else -1)
+            else if (isClose && listStack.nonEmpty) listStack.pop()
+            sb.append('\n')
+          } else if (BlockTags.contains(name)) {
+            sb.append('\n')
+          } else if (CellTags.contains(name)) {
+            sb.append(' ')
+          }
+          // inline tags (a/b/i/em/span/...): append NOTHING — they must
+          // not split words
+          i = j + 1
+        }
+      } else {
+        if (hiddenDepth == 0) sb.append(c)
+        i += 1
+      }
     }
-    val entities = sb.toString
-      .replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
-      .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
-    entities.linesIterator
-      .map(_.replaceAll("[ \\t\\x0B\\f\\r]+", " ").trim)
+    decodeEntities(sb.toString).linesIterator
+      .map(_.replaceAll("[ \\t\\x0B\\f\\r\\u00a0]+", " ").trim)
       .filter(_.nonEmpty)
       .mkString("\n")
   }

@@ -128,8 +128,9 @@ object LengthTaggers {
     * Re-derived from the HF `tokenizers` Split(behavior=isolated) +
     * ByteLevel(use_regex) semantics — the crate itself is unavailable
     * offline; `[[:punct:]]` and `\d` are ASCII classes here as in the
-    * Rust regex engine. The full-BPE `dolma_v1/v2_tokenizer` counts stay
-    * out of scope (they need the real vocab data). */
+    * Rust regex engine. The full-BPE `dolma_v1/v2_tokenizer` counts are
+    * covered by [[HfVocabTokenizerTagger]] with a caller-provided
+    * vocab file. */
   object OlmoPreTokenizer {
     private val punct = java.util.regex.Pattern.compile(" ?\\p{Punct}")
     private val digit = java.util.regex.Pattern.compile(" ?[0-9]")
@@ -151,13 +152,36 @@ object LengthTaggers {
 
     def count(text: String): Int = {
       if (text.isEmpty) return 0
-      val pieces = isolate(text, punct).flatMap(isolate(_, digit))
+      val ps = isolate(text, punct).flatMap(isolate(_, digit))
       var n = 0
-      pieces.foreach { pc =>
+      ps.foreach { pc =>
         val m = gpt2.matcher(pc)
         while (m.find()) n += 1
       }
       n
+    }
+
+    /** The final pre-token pieces themselves (exhaustive tiling of the
+      * input) — the unit the BPE merge loop runs within when this
+      * pipeline fronts a full tokenizer ([[graft.ml.HfTokenizer]]). */
+    def pieces(text: String): Vector[String] = {
+      if (text.isEmpty) return Vector.empty
+      val out = Vector.newBuilder[String]
+      isolate(text, punct).flatMap(isolate(_, digit)).foreach { pc =>
+        val m = gpt2.matcher(pc)
+        while (m.find()) out += pc.substring(m.start(), m.end())
+      }
+      out.result()
+    }
+
+    /** GPT-2 ByteLevel(use_regex) pre-tokenization alone (no Split
+      * steps): the regex tiles the raw text. */
+    def gpt2Pieces(text: String): Vector[String] = {
+      if (text.isEmpty) return Vector.empty
+      val out = Vector.newBuilder[String]
+      val m = gpt2.matcher(text)
+      while (m.find()) out += text.substring(m.start(), m.end())
+      out.result()
     }
   }
 
@@ -178,7 +202,29 @@ object LengthTaggers {
     }
   }
 
+  /** Full-BPE token count with a caller-provided pretrained vocab
+    * (reference length.py:163-178: `dolma_v1_tokenizer` loads
+    * allenai/gpt-neox-olmo-dolma-v1_5, `dolma_v2_tokenizer`
+    * allenai/dolma2-tokenizer — both the public HF tokenizer.json format,
+    * unreachable offline, so the file arrives via `$GRAFT_VOCAB_DIR/
+    * <name>.json` or `$GRAFT_VOCAB_FILE`). Score = token count of the
+    * stripped text (0 when blank), span over the whole doc — exactly the
+    * reference's predict. */
+  final class HfVocabTokenizerTagger(val name: String) extends Tagger {
+    // resolved lazily per executor; the parsed model is JVM-cached
+    @transient private lazy val tok = graft.ml.HfTokenizer.forTaggerName(name)
+    def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val stripped = text.strip()
+      val score = if (stripped.isEmpty) 0 else tok.encode(stripped).length
+      Vector(Span(0, CodePoints.length(text), "length", score.toDouble))
+    }
+  }
+
   def registerAll(): Unit = {
+    TaggerRegistry.register("dolma_v1_tokenizer")(
+      new HfVocabTokenizerTagger("dolma_v1_tokenizer"))
+    TaggerRegistry.register("dolma_v2_tokenizer")(
+      new HfVocabTokenizerTagger("dolma_v2_tokenizer"))
     TaggerRegistry.register("olmo_pretokenizer_v1")(new OlmoPreTokenizerV1)
     TaggerRegistry.register("olmo_pretokenizer_with_paragraphs_v1")(
       new OlmoPreTokenizerWithParagraphsV1)

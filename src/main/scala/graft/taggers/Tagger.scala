@@ -21,13 +21,59 @@ trait Tagger extends Serializable {
 object TaggerRegistry {
   private val taggers = TrieMap.empty[String, () => Tagger]
 
+  /** Reference registry names this engine deliberately does NOT implement,
+    * each mapped to (implemented equivalent, scope-out rationale). The
+    * third-party langid engines (cld2/cld3/langdetect/lingua, reference
+    * taggers/language.py:73-298) are redundant with the fastText family —
+    * same document model, same span/score shape, different native library;
+    * presidio (pii.py:162-165) is a heavyweight NER service the regex PII
+    * taggers replace. Resolving one of these names fails with a pointer
+    * to the equivalent instead of a bare miss. */
+  val scopedOutAliases: Map[String, (String, String)] = {
+    val langidWhy =
+      "third-party langid engine scoped out (redundant with the fastText family)"
+    val byShape = Map(
+      "doc_v2" -> "ft_lang_id_doc_v1",
+      "en_doc_v2" -> "ft_lang_id_en_doc_v2",
+      "paragraph_v2" -> "ft_lang_id_paragraph_v1",
+      "en_paragraph_v2" -> "ft_lang_id_en_paragraph_v2",
+      "en_paragraph_with_doc_score_v2" -> "ft_lang_id_en_paragraph_with_doc_score_v2")
+    val cld = for {
+      engine <- Seq("cld2", "cld3")
+      (shape, eq) <- byShape
+      // the reference registers cld3 only in the en_doc/en_paragraph/
+      // with_doc_score shapes (language.py:73-90,328)
+      if engine == "cld2" || shape.startsWith("en_")
+    } yield s"${engine}_$shape" -> (eq, langidWhy)
+    val langdetect = Seq(
+      "langdetect_doc_v1" -> ("ft_lang_id_doc_v1", langidWhy),
+      "langdetect_doc_en_v1" -> ("ft_lang_id_en_doc_v2", langidWhy),
+      "langdetect_paragraph_v1" -> ("ft_lang_id_paragraph_v1", langidWhy),
+      "langdetect_en_paragraph_v1" -> ("ft_lang_id_en_paragraph_v2", langidWhy))
+    val lingua = Seq(
+      "lingua_doc_v1" -> ("ft_lang_id_doc_v1", langidWhy),
+      "lingua_1e2" -> ("ft_lang_id_1e2", langidWhy),
+      "lingua_doc_en_v1" -> ("ft_lang_id_en_doc_v2", langidWhy),
+      "lingua_en_only_v1" -> ("ft_lang_id_en_only_v2", langidWhy),
+      "lingua_par_v1" -> ("ft_lang_id_paragraph_v1", langidWhy),
+      "lingua_en_par_v1" -> ("ft_lang_id_en_paragraph_v2", langidWhy))
+    val pii = Seq("pii_presidio_v1" -> ("pii_regex_with_counts_fast_v2",
+      "presidio NER service scoped out (regex PII taggers cover the reference's span shape)"))
+    (cld ++ langdetect ++ lingua ++ pii).toMap
+  }
+
   def register(name: String)(factory: => Tagger): Unit =
     taggers.put(name, () => factory)
 
   def get(name: String): Tagger =
-    taggers.getOrElse(name, throw new NoSuchElementException(
-      s"Unknown tagger '$name'. Known: ${taggers.keys.toSeq.sorted.mkString(", ")}"
-    ))()
+    taggers.getOrElse(name,
+      scopedOutAliases.get(name) match {
+        case Some((equivalent, why)) => throw new NoSuchElementException(
+          s"Tagger '$name' is a reference registry name this engine scopes out: " +
+            s"$why. Use '$equivalent' instead.")
+        case None => throw new NoSuchElementException(
+          s"Unknown tagger '$name'. Known: ${taggers.keys.toSeq.sorted.mkString(", ")}")
+      })()
 
   def names: Seq[String] = { Builtins.ensure(); taggers.keys.toSeq.sorted }
 

@@ -152,4 +152,119 @@ class MlSpec extends AnyFunSuite {
     val ids = bpe.encode("abc")
     assert(ids.head == abId.get)
   }
+
+  test("BPE: distributed trainer learns the exact merges of the driver trainer") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val corpus = Seq(
+      "def load(path): return open(path).read()",
+      "for i in range(10): print(i, i * 2)",
+      "def save(path, data): open(path, 'w').write(data)",
+      "the quick brown fox jumps over the lazy dog")
+    val local = graft.ml.Bpe.train(corpus, numMerges = 24)
+    val dist = graft.ml.Bpe.trainDistributed(corpus.toDS(), numMerges = 24,
+      checkpointEvery = 8)
+    assert(dist.merges == local.merges)
+    assert(dist.vocabSize == local.vocabSize)
+    (0 until local.vocabSize).foreach(i =>
+      assert(dist.vocabBytes(i).toSeq == local.vocabBytes(i).toSeq))
+    val s = "def f(path): return path"
+    assert(dist.encode(s).toSeq == local.encode(s).toSeq)
+  }
+
+  test("HfTokenizer: export->load reproduces the exact id sequences") {
+    val bpe = graft.ml.Bpe.train(Seq(
+      "def load(path): return open(path).read()",
+      "for i in range(10): print(i, i * 2)",
+      "the quick brown fox jumps over the lazy dog"), numMerges = 96)
+    val loaded = graft.ml.HfTokenizer.parse(graft.ml.HfTokenizer.fromBpe(bpe))
+    val cases = Seq(
+      "", "def f(x): return x", "UNSEEN!! 123 tokens",
+      "unicode: héllo wörld — ok", "emoji 😀 ok",
+      "line\nbreaks\tand   spaces ")
+    cases.foreach { s =>
+      assert(loaded.encode(s).toSeq == bpe.encode(s).toSeq,
+        s"id sequences diverge for '$s'")
+      assert(loaded.decode(loaded.encode(s).toIndexedSeq) == s)
+    }
+    assert(loaded.vocabSize == bpe.vocabSize)
+  }
+
+  test("HfTokenizer: merges accepted as pair-arrays too; ranks honored") {
+    // hand-written tiny vocab over bytes a,b,c + merges ab, then ab+c
+    val ab = graft.ml.HfTokenizer.parse(
+      """{"model":{"type":"BPE",
+        |  "vocab":{"a":0,"b":1,"c":2,"ab":3,"abc":4},
+        |  "merges":[["a","b"],["ab","c"]]}}""".stripMargin)
+    assert(ab.encode("abc").toSeq == Seq(4))
+    assert(ab.encode("ab").toSeq == Seq(3))
+    assert(ab.encode("acb").toSeq == Seq(0, 2, 1))
+    assert(ab.decode(Seq(4, 3, 0)) == "abcaba")
+    // same vocab, string merges, REVERSED rank order: "ab" learned second
+    // means "abc" still resolves via ab+c only if ab applies first; with
+    // ranks flipped the (ab,c) merge can never fire before (a,b)
+    val ba = graft.ml.HfTokenizer.parse(
+      """{"model":{"type":"BPE",
+        |  "vocab":{"a":0,"b":1,"c":2,"ab":3,"abc":4},
+        |  "merges":["ab c","a b"]}}""".stripMargin)
+    assert(ba.encode("abc").toSeq == Seq(4)) // a b -> ab (rank 1), ab c -> abc (rank 0)
+  }
+
+  test("HfTokenizer: merge-less shuffled byte vocab counts bytes; ids permuted") {
+    val json = graft.ml.HfTokenizer.trivialByteVocabJson(b => (167 * b + 13) % 256)
+    val tok = graft.ml.HfTokenizer.parse(json)
+    val s = "hi there 😀"
+    assert(tok.countTokens(s) == s.getBytes("UTF-8").length)
+    assert(tok.decode(tok.encode(s).toIndexedSeq) == s)
+    // 'h' = 0x68 -> id (167*0x68+13) mod 256
+    assert(tok.encode("h").head == (167 * 0x68 + 13) % 256)
+  }
+
+  test("dolma_v1/v2_tokenizer taggers bind to $GRAFT_VOCAB_DIR vocab files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vocab-spec")
+    val bpe = graft.ml.Bpe.train(
+      Seq("count these tokens count these tokens"), numMerges = 16)
+    val json = graft.ml.HfTokenizer.fromBpe(bpe)
+    Seq("dolma_v1_tokenizer", "dolma_v2_tokenizer").foreach { n =>
+      java.nio.file.Files.write(dir.resolve(s"$n.json"), json.getBytes("UTF-8"))
+    }
+    val prev = sys.props.get("GRAFT_VOCAB_DIR")
+    sys.props("GRAFT_VOCAB_DIR") = dir.toString
+    try {
+      Seq("dolma_v1_tokenizer", "dolma_v2_tokenizer").foreach { n =>
+        val t = graft.taggers.TaggerRegistry.resolve(n)
+        // reference semantics (length.py:172-175): strip first, 0 if blank
+        val spans = t.predict("  count these tokens  ")
+        assert(spans.length == 1 && spans.head.typ == "length")
+        assert(spans.head.score ==
+          bpe.encode("count these tokens").length.toDouble)
+        assert(t.predict("   ").head.score == 0.0)
+        assert(t.predict("").head.score == 0.0)
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props("GRAFT_VOCAB_DIR") = v
+        case None => sys.props.remove("GRAFT_VOCAB_DIR")
+      }
+    }
+  }
+
+  test("dolma tokenizer taggers fail with the vocab convention when unconfigured") {
+    val prevD = sys.props.get("GRAFT_VOCAB_DIR")
+    val prevF = sys.props.get("GRAFT_VOCAB_FILE")
+    sys.props.remove("GRAFT_VOCAB_DIR"); sys.props.remove("GRAFT_VOCAB_FILE")
+    try {
+      if (!sys.env.contains("GRAFT_VOCAB_DIR") && !sys.env.contains("GRAFT_VOCAB_FILE")) {
+        val e = intercept[IllegalStateException] {
+          graft.taggers.TaggerRegistry.resolve("dolma_v1_tokenizer")
+            .predict("some text")
+        }
+        assert(e.getMessage.contains("GRAFT_VOCAB_DIR"))
+        assert(e.getMessage.contains("tokenizer.json"))
+      }
+    } finally {
+      prevD.foreach(sys.props("GRAFT_VOCAB_DIR") = _)
+      prevF.foreach(sys.props("GRAFT_VOCAB_FILE") = _)
+    }
+  }
 }

@@ -81,6 +81,37 @@ class RuntimeSpec extends AnyFunSuite {
     assert(feats.exceptAll(again).count() == 0)
   }
 
+  test("multimodal: ImageIoDecoder really decodes PNGs (dims + luminance)") {
+    import graft.multimodal.Multimodal
+    val dec = new Multimodal.ImageIoDecoder()
+    // a real PNG: 80x48, constant gray 200
+    val png = Multimodal.syntheticPng(80, 48, 200)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a))
+    val (w, h, frames, emb) = dec.decode("image", "png", png)
+    assert((w, h, frames) == (80, 48, 1))
+    // constant gray => every 4x4 grid cell's mean luminance is 200/255
+    assert(emb.length == 16)
+    emb.foreach(v => assert(math.abs(v - 200f / 255f) < 1e-4f, v.toString))
+    // non-gray: left half black, right half white => left cells ~0, right ~1
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(java.awt.Color.WHITE); g2.fillRect(32, 0, 32, 64); g2.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val (_, _, _, emb2) = dec.decode("image", "png", out.toByteArray)
+    Seq(0, 4, 8, 12).foreach(i => assert(emb2(i) < 0.01f))
+    Seq(3, 7, 11, 15).foreach(i => assert(emb2(i) > 0.99f))
+    // unparseable image payloads and non-image media fall back to the seam
+    val junk = Array.tabulate[Byte](32)(_.toByte)
+    Seq("image" -> "png", "audio" -> "wav").foreach { case (mt, fmt) =>
+      val (aw, ah, af, ae) = dec.decode(mt, fmt, junk)
+      val (bw, bh, bf, be) = Multimodal.FakeDecoder.decode(mt, fmt, junk)
+      assert((aw, ah, af) == (bw, bh, bf) && ae.toSeq == be.toSeq)
+    }
+  }
+
   test("streaming: stateful sessionization with flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val gap = 1800000000L

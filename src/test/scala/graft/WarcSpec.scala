@@ -90,6 +90,53 @@ class WarcSpec extends AnyFunSuite {
     assert(text.linesIterator.toSeq.head == "Heading")
   }
 
+  test("linearizer: inline tags don't split words; br breaks lines") {
+    // resiliparse semantics: inline elements vanish without whitespace
+    val t = Linearizer.linearize(
+      "<p>wro<b>ng</b> is <em>right</em>, <a href='x'>link text</a>" +
+        " and co<span class=\"s\">de</span></p>")
+    assert(t == "wrong is right, link text and code")
+    val br = Linearizer.linearize("<p>line one<br>line two<br/>line three</p>")
+    assert(br.linesIterator.toSeq == Seq("line one", "line two", "line three"))
+  }
+
+  test("linearizer: list bullets and ordered-list numbers (list_bullets=True)") {
+    val ul = Linearizer.linearize("<ul><li>alpha</li><li>beta</li></ul>")
+    assert(ul.linesIterator.toSeq == Seq("• alpha", "• beta"))
+    val ol = Linearizer.linearize("<ol><li>first</li><li>second</li><li>third</li></ol>")
+    assert(ol.linesIterator.toSeq == Seq("1. first", "2. second", "3. third"))
+    // nesting: the inner ul takes over, the outer ol numbering resumes
+    val mixed = Linearizer.linearize(
+      "<ol><li>one<ul><li>inner</li></ul></li><li>two</li></ol>")
+    assert(mixed.linesIterator.toSeq == Seq("1. one", "• inner", "2. two"))
+  }
+
+  test("linearizer: numeric and named character references decode") {
+    val t = Linearizer.linearize(
+      "<p>caf&#233; &amp; r&#xE9;sum&#xe9; &mdash; 5&deg; &hellip; &unknown; &copy;</p>")
+    assert(t == "café & résumé — 5° … &unknown; ©")
+  }
+
+  test("linearizer: quoted '>' in attributes and hidden subtrees") {
+    // a '>' inside a quoted attribute must not terminate the tag
+    val t = Linearizer.linearize("""<p><a href="q?a>b" title='x>y'>anchor</a> end</p>""")
+    assert(t == "anchor end")
+    // noscript/svg/template subtrees are dropped wholesale (noscript=False
+    // in the reference's linearizer config)
+    val hid = Linearizer.linearize(
+      "<p>keep</p><noscript><p>gone</p></noscript><svg><text>gone too</text></svg><p>kept</p>")
+    assert(hid.linesIterator.toSeq == Seq("keep", "kept"))
+    // script content with a literal '<' inside
+    val sc = Linearizer.linearize("<p>a</p><script>if (x<2) y();</script><p>b</p>")
+    assert(sc.linesIterator.toSeq == Seq("a", "b"))
+  }
+
+  test("linearizer: table cells separate, rows break") {
+    val t = Linearizer.linearize(
+      "<table><tr><td>a1</td><td>a2</td></tr><tr><td>b1</td><td>b2</td></tr></table>")
+    assert(t.linesIterator.toSeq == Seq("a1 a2", "b1 b2"))
+  }
+
   test("extractDocuments: pre/post taggers, skip flags, dolma shape") {
     val dir = writeFixture(gz = false)
     val recs = Warc.readRecords(spark, dir)
