@@ -42,10 +42,11 @@ object ScalingBench {
     * counts too); under the sandbox's microVM CPU-quota throttle the
     * guest is descheduled and ticks simply fail to elapse.
     */
-  private def procStat(): (Long, Long, Long) = {
+  private def procStat(): (Long, Long, Long, Long) = {
     val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
     val f = line.trim.split("\\s+").drop(1).map(_.toLong)
-    (f.sum, if (f.length > 7) f(7) else 0L, if (f.length > 4) f(4) else 0L)
+    (f.sum, if (f.length > 7) f(7) else 0L, if (f.length > 4) f(4) else 0L,
+      if (f.length > 2) f(2) else 0L) // (total, steal, iowait, system)
   }
 
   private val HostCpus = Runtime.getRuntime.availableProcessors()
@@ -87,7 +88,7 @@ object ScalingBench {
     * possible cpu ticks that actually elapsed during the leg's window.
     */
   final case class LegTicks(cpus: Int, wallSec: Double, tickFraction: Double,
-                            stealTicks: Long, iowaitTicks: Long,
+                            stealTicks: Long, iowaitTicks: Long, sysTicks: Long,
                             aluBefore: Double, aluAfter: Double, attempts: Int)
 
   private def orchestrate(): Unit = {
@@ -99,7 +100,17 @@ object ScalingBench {
     val cp = sys.props("java.class.path")
 
     def runOnce(cpus: Int, heapGb: Int): (Double, Double, Long) = {
-      val cmd = Seq(javaBin, s"-Xmx${heapGb}g",
+      // Fixed, pre-touched heap: round 4 diagnosed a THIRD sandbox
+      // measurement hazard — with a growable heap the child faults its
+      // pages in DURING the measured sections, and at 32 allocating
+      // threads the kernel fault path serializes (measured: ~2,800 s of
+      // system time inside one 32-wide leg, pipeline 55-89 s; with
+      // -Xms=-Xmx -XX:+AlwaysPreTouch the faulting moves to JVM startup
+      // and the same leg measured 21-31 s with negligible system time).
+      // A real executor runs with fixed spark.executor.memory, so the
+      // fixed heap is also the faithful model.
+      val cmd = Seq(javaBin, s"-Xms${heapGb}g", s"-Xmx${heapGb}g",
+        "-XX:+AlwaysPreTouch",
         s"-XX:ParallelGCThreads=$cpus") ++ AddOpens ++
         Seq("-cp", cp, "graft.ScalingBench", "child", cpus.toString, nDocs.toString)
       val out = new StringBuilder
@@ -153,16 +164,17 @@ object ScalingBench {
       while (!done && attempt < maxAttempts) {
         attempt += 1
         val alu0 = aluRate(32, 200_000_000L)
-        val (t0, s0, io0) = procStat(); val w0 = System.nanoTime()
+        val (t0, s0, io0, sy0) = procStat(); val w0 = System.nanoTime()
         val r = runOnce(cpus, heapGb)
-        val (t1, s1, io1) = procStat(); val wall = (System.nanoTime() - w0) / 1e9
+        val (t1, s1, io1, sy1) = procStat(); val wall = (System.nanoTime() - w0) / 1e9
         val alu1 = aluRate(32, 200_000_000L)
         val frac = (t1 - t0).toDouble / (HostCpus * ClkTck * wall)
-        val leg = LegTicks(cpus, wall, frac, s1 - s0, io1 - io0, alu0, alu1, attempt)
+        val leg = LegTicks(cpus, wall, frac, s1 - s0, io1 - io0, sy1 - sy0,
+          alu0, alu1, attempt)
         val aluOk = math.min(alu0, alu1) >= aluFloor
         System.err.println(f"DEBUG leg local[$cpus] attempt $attempt: " +
           f"wall ${wall}%.1fs tickFraction $frac%.3f steal ${s1 - s0} " +
-          f"iowait ${io1 - io0} alu $alu0%.3f->$alu1%.3f (floor $aluFloor%.3f)")
+          f"iowait ${io1 - io0} sys ${sy1 - sy0} alu $alu0%.3f->$alu1%.3f (floor $aluFloor%.3f)")
         if (best == null ||
             (frac > best._2.tickFraction &&
               math.min(alu0, alu1) >= math.min(best._2.aluBefore, best._2.aluAfter)))
@@ -195,7 +207,7 @@ object ScalingBench {
     val samples = measured.map(_.map(_._1))
     val legEvidence = measured.flatMap(_.map(_._2))
     val legTable = legEvidence.zipWithIndex.map { case (l, i) =>
-      f"| ${i / 3 + 1} | local[${l.cpus}] | ${l.wallSec}%.1f | ${l.tickFraction}%.3f | ${l.stealTicks} | ${l.iowaitTicks} | ${l.aluBefore}%.3f→${l.aluAfter}%.3f | ${l.attempts} |"
+      f"| ${i / 3 + 1} | local[${l.cpus}] | ${l.wallSec}%.1f | ${l.tickFraction}%.3f | ${l.stealTicks} | ${l.iowaitTicks} | ${l.sysTicks} | ${l.aluBefore}%.3f→${l.aluAfter}%.3f | ${l.attempts} |"
     }.mkString("\n")
     val allClean = ambientHealthy && legEvidence.forall(l =>
       l.tickFraction >= minTickFraction &&
@@ -275,8 +287,8 @@ object ScalingBench {
          |${f"$gateAlu32%.3f"} Gop/s/core, 8→32 ratio ${f"$gateRatio%.3f"}
          |(healthy: $ambientHealthy; per-leg floor ${f"$aluFloor%.3f"}).
          |
-         || rep | leg | wall (s) | tickFraction | steal ticks | iowait ticks | alu before→after | attempts |
-         ||---|---|---|---|---|---|---|---|
+         || rep | leg | wall (s) | tickFraction | steal ticks | iowait ticks | sys ticks | alu before→after | attempts |
+         ||---|---|---|---|---|---|---|---|---|
          |$legTable
          |
          |All legs clean (both guards): **$allClean**

@@ -526,6 +526,33 @@ object SparkEntry {
           greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
     }),
 
+    // exhaustive inverted-index n-gram Jaccard (no sketch): recall-1
+    // counterpart of dedup_minhash_pairs, different shingle width and
+    // threshold so the two paths are independently exercised
+    "dedup_jaccard_ngram" -> ((s, dir) =>
+      MinHashLSH.exactJaccardPairs(docs(s, dir),
+        col("doc_id").cast("string"), col("text"), k = 4, minJaccard = 0.6)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"), col("jaccard"))),
+
+    // embedding-cosine near-dup: duplicates planted by copying the
+    // representative's vector (rep = vec_id % 55 for vec_id % 11 == 4);
+    // identical vectors share every hyperplane sign bit, so bucket recall
+    // is provably 1 for the planted pairs, and the 0.9 verify threshold
+    // separates them (max raw pairwise cosine in the table is 0.513)
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val rep = e.select(col("vec_id").as("rep_id"), col("embedding").as("rep_emb"))
+      val planted = e.join(broadcast(rep), col("vec_id") % 55 === col("rep_id"), "left")
+        .select(col("vec_id"),
+          when(col("vec_id") % 11 === 4 && col("vec_id") >= 55, col("rep_emb"))
+            .otherwise(col("embedding")).as("embedding"))
+      Ann.cosineNearDupPairs(planted, col("vec_id"), col("embedding"),
+        dim = 64, minCosine = 0.9, bits = 12)
+        .select(col("id_a").cast("long").as("id_a"),
+          col("id_b").cast("long").as("id_b"))
+    }),
+
     "dedup_paragraph" -> ((s, dir) => {
       val d = docs(s, dir)
         .withColumn("text2", regexp_replace(col("text"), " dup ", "\ndup\n"))
@@ -1325,6 +1352,44 @@ object SparkEntry {
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b)
           |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      // exhaustive shingle-set Jaccard, k=4 τ=0.6: shared/(na+nb-shared)
+      // is one integer division — bit-exact across engines
+      "dedup_jaccard_ngram" ->
+        """WITH d AS (SELECT doc_id,
+          |        list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+          |      FROM documents),
+          |s AS (SELECT doc_id,
+          |        list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+          |          ELSE list_transform(range(0, len(toks)-4+1), i -> array_to_string(toks[i+1:i+4], ' ')) END) AS sh
+          |      FROM d),
+          |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          |      FROM e a JOIN e b ON a.g = b.g
+          |       AND cast(a.doc_id AS VARCHAR) < cast(b.doc_id AS VARCHAR)
+          |      GROUP BY 1, 2),
+          |j AS (SELECT id_a, id_b,
+          |        cast(shared AS DOUBLE) / cast(sa.n + sb.n - shared AS DOUBLE) AS jaccard
+          |      FROM p
+          |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
+          |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b)
+          |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.6""".stripMargin,
+
+      // planted identical-vector pairs recovered through the LSH bucket
+      // index; full O(n^2) cosine replay at oracle scale
+      "dedup_embedding_cosine" ->
+        """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+          |d AS (SELECT a.vec_id,
+          |    CASE WHEN a.vec_id % 11 = 4 AND a.vec_id >= 55
+          |         THEN r.embedding ELSE a.embedding END AS emb
+          |  FROM base a LEFT JOIN base r ON r.vec_id = a.vec_id % 55),
+          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    list_sum(list_transform(range(1, len(a.emb)+1),
+          |      i -> cast(a.emb[i] AS DOUBLE) * cast(b.emb[i] AS DOUBLE)))
+          |    / (sqrt(list_sum(list_transform(a.emb, x -> cast(x AS DOUBLE)*cast(x AS DOUBLE))))
+          |       * sqrt(list_sum(list_transform(b.emb, x -> cast(x AS DOUBLE)*cast(x AS DOUBLE))))) AS cosine
+          |  FROM d a JOIN d b ON a.vec_id < b.vec_id)
+          |SELECT id_a, id_b FROM p WHERE cosine >= 0.9""".stripMargin,
 
       // nearest-seed assignment replayed: per-element L2 sums are
       // sequential double arithmetic (bit-exact), argmin ties by index

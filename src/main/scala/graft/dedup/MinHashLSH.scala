@@ -21,14 +21,30 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Shingle hashes: xxhash64 of each k-word window. */
-  def shingleHashes(textCol: Column, k: Int): Column = {
-    val toks = filter(split(lower(textCol), "\\s+"), t => t =!= "")
-    val starts = sequence(lit(0), greatest(size(toks) - k, lit(0)), lit(1))
+  /** Shingle hashes: xxhash64 of each k-word window.
+    *
+    * NOTE for hot paths: `toks` here is an expression TREE, so every
+    * reference inside the window lambda re-evaluates the split — O(words²)
+    * per doc when `textCol` is the raw text column. Fine for the verify
+    * stage's small candidate sets; bulk callers should pre-project the
+    * token array and pass [[shingleHashesOfTokens]] an attribute instead
+    * (see [[exactJaccardPairs]]). */
+  def shingleHashes(textCol: Column, k: Int): Column =
+    shingleHashesOfTokens(tokens(textCol), k)
+
+  /** Lowercased whitespace tokens (empties dropped). */
+  def tokens(textCol: Column): Column =
+    filter(split(lower(textCol), "\\s+"), t => t =!= "")
+
+  /** Shingle hashes over an already-computed token-array column. When
+    * `toksCol` is a bound attribute (its own projection), each row's
+    * tokens are computed once and every window reads the same array. */
+  def shingleHashesOfTokens(toksCol: Column, k: Int): Column = {
+    val starts = sequence(lit(0), greatest(size(toksCol) - k, lit(0)), lit(1))
     array_distinct(
-      when(size(toks) < k, array(xxhash64(concat_ws(" ", toks))))
+      when(size(toksCol) < k, array(xxhash64(concat_ws(" ", toksCol))))
         .otherwise(transform(starts, s =>
-          xxhash64(concat_ws(" ", slice(toks, s + 1, lit(k)))))))
+          xxhash64(concat_ws(" ", slice(toksCol, s + 1, lit(k)))))))
   }
 
   /** MinHash signature over k-word shingles: one-pass custom expression
@@ -120,5 +136,59 @@ object MinHashLSH {
     val b = shingleHashes(bText, k)
     size(array_intersect(a, b)).cast("double") /
       greatest(size(array_union(a, b)), lit(1)).cast("double")
+  }
+
+  /** Exhaustive n-gram Jaccard near-duplicate pairs via a distributed
+    * inverted index — no sketching, recall 1 (the exact counterpart to
+    * [[verifiedNearDuplicatePairs]]'s LSH proposal stage; the standard
+    * "all-pairs similarity" shape of Bayardo et al., WWW'07).
+    *
+    * Shape: per-doc DISTINCT shingle hashes → explode → self-join on the
+    * 8-byte hash (the shuffle carries only (hash, id, setSize) — no text)
+    * → count shared shingles per pair (map-side combined) → one division
+    * against the set sizes riding along the pair key. Exact because
+    * |A∩B| = shared postings and |A∪B| = |A|+|B|-shared; the only
+    * approximation is the 2^-64 shingle-hash collision (same as the
+    * verify stage above).
+    *
+    * Scale: pair generation is quadratic in a shingle's doc-frequency, so
+    * boilerplate shingles shared by millions of docs explode the join;
+    * `maxShingleDf` drops postings above that doc-frequency (a standard
+    * prefix-filtering surrogate — a shingle in >df docs contributes at
+    * most df-1 of any doc's intersection, so for high thresholds over
+    * long docs the recall loss is negligible and bounded; None = exact).
+    */
+  def exactJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 5, minJaccard: Double = 0.5,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    // tokens staged through their own projection so the window lambda
+    // binds an attribute (one tokenization per row, not per window);
+    // CollapseProject keeps the stages apart because the reference is
+    // non-cheap and multiply-used
+    val sized = df.select(idCol.as("id"), tokens(textCol).as("__toks"))
+      .select(col("id"), shingleHashesOfTokens(col("__toks"), k).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("n"))
+    val postings = sized.select(col("id"), col("n"), explode(col("sh")).as("g"))
+    val kept = maxShingleDf match {
+      case Some(cap) =>
+        val rare = postings.groupBy(col("g"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+        postings.join(rare.select(col("g")), Seq("g"), "left_semi")
+      case None => postings
+    }
+    val a = kept.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+    val b = kept.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
+    // merge hint: the static optimizer underestimates the exploded
+    // postings side and broadcasts it (a driver-built hash table of the
+    // whole inverted index — wrong at any scale); the postings self-join
+    // must shuffle both sides on the 8-byte shingle key (spillable SMJ)
+    a.hint("merge").join(b, Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
   }
 }

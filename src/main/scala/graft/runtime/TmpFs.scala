@@ -10,7 +10,9 @@ package graft.runtime
 object TmpFs {
   def sparkLocalDir(sub: String): String = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isWritable(shm))
+    val disable = sys.env.get("GRAFT_NO_TMPFS").orElse(sys.props.get("graft.no.tmpfs"))
+      .exists(v => v == "1" || v == "true")
+    if (!disable && java.nio.file.Files.isWritable(shm))
       java.nio.file.Files.createDirectories(shm.resolve(sub)).toString
     else sys.props("java.io.tmpdir")
   }

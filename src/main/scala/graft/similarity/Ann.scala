@@ -83,6 +83,43 @@ object Ann {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate PAIRS (the pairwise counterpart to
+    * the query-centric [[lshBucketedTopK]]): random-hyperplane bucketing
+    * proposes, exact pairwise cosine disposes.
+    *
+    * Recall: identical vectors project to identical sign bits, so exact
+    * duplicates always share a bucket — recall 1 by construction (the
+    * property the oracle exercises). A merely-near pair at angle θ shares
+    * the bucket with probability (1-θ/π)^bits — raise recall by unioning
+    * several `seed`s (independent hash tables), the standard Charikar
+    * amplification; each table is one more narrow scan + bucket shuffle.
+    *
+    * Scale: vectors never fan out (one bucket row per vector per table);
+    * the wide ops are the bucket self-join and the per-pair verify.
+    * Degenerate buckets (zero vectors, constant embeddings) are capped by
+    * `maxBucketSize` — same skew guard as [[graft.dedup.MinHashLSH]]. */
+  def cosineNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
+      dim: Int, minCosine: Double, bits: Int = 12, seeds: Seq[Long] = Seq(42L),
+      maxBucketSize: Int = 1000): DataFrame = {
+    val tables = seeds.zipWithIndex.map { case (seed, t) =>
+      df.select(idCol.as("id"), vecCol.as("v"), lit(t).as("table"),
+        hyperplaneBucket(vecCol, dim, bits, seed).as("bucket"))
+    }
+    val bucketed = tables.reduce(_ unionAll _)
+    val capped = bucketed
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("__bsize") <= maxBucketSize)
+    val a = capped.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = capped.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+
   /** Distributed Lloyd's k-means over the embedding column: assignment is
     * the [[ivfAssign]] Catalyst expression (narrow), the centroid update
     * is `posexplode` → `groupBy(cluster, dim).avg` (one map-side-combined

@@ -200,4 +200,64 @@ class SparkOpsSpec extends AnyFunSuite {
       .select("id").as[Long].head()
     assert(exact == 99L)
   }
+
+  test("exactJaccardPairs equals the brute-force pairwise Jaccard model") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "the quick brown fox jumps over the lazy dog today",   // near-dup of 0
+      "a completely different sentence with other words entirely",
+      "the quick brown fox jumps over the lazy dog tonight", // exact dup of 0
+      "lorem ipsum dolor sit amet consectetur adipiscing elit",
+      "lorem ipsum dolor sit amet consectetur adipiscing sed")// near-dup of 4
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toString, t) }.toDF("id", "text")
+    val got = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"), k = 3, minJaccard = 0.3)
+      .as[(String, String, Double)].collect().toSet
+    // brute-force model: every ordered pair through the verify-stage expression
+    val a = df.select(col("id").as("id_a"), col("text").as("ta"))
+    val b = df.select(col("id").as("id_b"), col("text").as("tb"))
+    val model = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        MinHashLSH.exactJaccard(col("ta"), col("tb"), 3).as("j"))
+      .filter(col("j") >= 0.3)
+      .as[(String, String, Double)].collect().toSet
+    assert(got == model)
+    assert(got.map(p => (p._1, p._2)).contains(("0", "3"))) // the planted exact dup
+    assert(got.exists { case (x, y, j) => x == "0" && y == "3" && j == 1.0 })
+  }
+
+  test("exactJaccardPairs maxShingleDf cap drops boilerplate-only pairs") {
+    // every doc shares one boilerplate shingle; only 0/1 are real near-dups
+    val texts = Seq(
+      "shared legal boilerplate unique alpha beta gamma delta",
+      "shared legal boilerplate unique alpha beta gamma epsilon",
+      "shared legal boilerplate zz yy xx ww vv",
+      "shared legal boilerplate qq rr ss tt uu")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toString, t) }.toDF("id", "text")
+    val uncapped = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+      k = 3, minJaccard = 0.4).as[(String, String, Double)].collect().toSet
+    val capped = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+      k = 3, minJaccard = 0.4, maxShingleDf = Some(2L))
+      .as[(String, String, Double)].collect().toSet
+    assert(uncapped.map(p => (p._1, p._2)) == Set(("0", "1")))
+    // the capped variant still finds the true near-dup pair: its shared
+    // shingles beyond the boilerplate have doc-frequency <= 2
+    assert(capped.map(p => (p._1, p._2)) == Set(("0", "1")))
+  }
+
+  test("cosineNearDupPairs: planted identical vectors recovered with recall 1") {
+    val rng = new scala.util.Random(7)
+    val base = (0 until 60).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+    // plant: 50/51 copy vector 0, 52 copies vector 1
+    val rows = base.map {
+      case (i, _) if i == 50 || i == 51 => (i, base(0)._2)
+      case (i, _) if i == 52 => (i, base(1)._2)
+      case r => r
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = graft.similarity.Ann.cosineNearDupPairs(df, col("vec_id"),
+      col("embedding"), dim = 16, minCosine = 0.999, bits = 10)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 50L), (0L, 51L), (50L, 51L), (1L, 52L)))
+  }
 }
