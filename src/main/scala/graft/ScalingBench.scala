@@ -343,11 +343,12 @@ object ScalingBench {
          |""".stripMargin
 
     Files.createDirectories(Paths.get("BENCH"))
-    // keep the per-query variance study (written by the 3×Bench protocol,
-    // BENCH/VARIANCE.md) attached to the scaling evidence
-    val variance = Paths.get("BENCH/VARIANCE.md")
-    val full =
-      if (Files.exists(variance)) md + "\n" + Files.readString(variance) else md
+    // keep the throttle-mode diagnosis (BENCH/DIAGNOSIS.md) and the
+    // per-query variance study (BENCH/VARIANCE.md) attached to the
+    // scaling evidence across re-runs
+    val attachments = Seq("BENCH/DIAGNOSIS.md", "BENCH/VARIANCE.md")
+      .map(Paths.get(_)).filter(Files.exists(_))
+    val full = (md +: attachments.map(Files.readString)).mkString("\n")
     Files.writeString(Paths.get("BENCH/BASELINE.md"), full)
     println(md)
     println(f"""{"metric":"scaling_efficiency","value":$effP28,"unit":"ratio","tag_efficiency":$effT28,"pipeline_eff_8_32":$effP832,"tag_eff_8_32":$effT832,"docs":$nDocs,"all_legs_clean":$allClean,"ambient_alu_ratio":$gateRatio%.3f}""")

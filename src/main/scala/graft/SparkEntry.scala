@@ -528,10 +528,15 @@ object SparkEntry {
 
     // exhaustive inverted-index n-gram Jaccard (no sketch): recall-1
     // counterpart of dedup_minhash_pairs, different shingle width and
-    // threshold so the two paths are independently exercised
+    // threshold so the two paths are independently exercised; runs the
+    // prefix-filtered scale path (LOSSLESS for a fixed threshold — the
+    // DuckDB oracle replays the unfiltered quadratic definition, so the
+    // filter's recall-1 claim is value-checked, and SparkOpsSpec pins
+    // prefix == unfiltered across thresholds)
     "dedup_jaccard_ngram" -> ((s, dir) =>
       MinHashLSH.exactJaccardPairs(docs(s, dir),
-        col("doc_id").cast("string"), col("text"), k = 4, minJaccard = 0.6)
+        col("doc_id").cast("string"), col("text"), k = 4, minJaccard = 0.6,
+        prefixFilter = true)
         .select(col("id_a").cast("long").as("id_a"),
           col("id_b").cast("long").as("id_b"), col("jaccard"))),
 

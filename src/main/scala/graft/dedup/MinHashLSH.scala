@@ -160,32 +160,69 @@ object MinHashLSH {
     */
   def exactJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, minJaccard: Double = 0.5,
-      maxShingleDf: Option[Long] = None): DataFrame = {
+      maxShingleDf: Option[Long] = None,
+      prefixFilter: Boolean = false): DataFrame = {
     // tokens staged through their own projection so the window lambda
     // binds an attribute (one tokenization per row, not per window);
     // CollapseProject keeps the stages apart because the reference is
     // non-cheap and multiply-used
     val sized = df.select(idCol.as("id"), tokens(textCol).as("__toks"))
-      .select(col("id"), shingleHashesOfTokens(col("__toks"), k).as("sh"))
+      .select(col("id"), array_sort(shingleHashesOfTokens(col("__toks"), k)).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n"))
-    val postings = sized.select(col("id"), col("n"), explode(col("sh")).as("g"))
-    val kept = maxShingleDf match {
-      case Some(cap) =>
-        val rare = postings.groupBy(col("g"))
-          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
-        postings.join(rare.select(col("g")), Seq("g"), "left_semi")
-      case None => postings
+    if (prefixFilter) prefixFilteredPairs(sized, minJaccard)
+    else {
+      val postings = sized.select(col("id"), col("n"), explode(col("sh")).as("g"))
+      val kept = maxShingleDf match {
+        case Some(cap) =>
+          val rare = postings.groupBy(col("g"))
+            .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
+          postings.join(rare.select(col("g")), Seq("g"), "left_semi")
+        case None => postings
+      }
+      val a = kept.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
+      val b = kept.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
+      // merge hint: the static optimizer underestimates the exploded
+      // postings side and broadcasts it (a driver-built hash table of the
+      // whole inverted index — wrong at any scale); the postings self-join
+      // must shuffle both sides on the 8-byte shingle key (spillable SMJ)
+      a.hint("merge").join(b, Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+        .agg(count(lit(1)).as("shared"))
+        .select(col("id_a"), col("id_b"),
+          (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+        .filter(col("jaccard") >= minJaccard)
     }
-    val a = kept.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = kept.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
-    // merge hint: the static optimizer underestimates the exploded
-    // postings side and broadcasts it (a driver-built hash table of the
-    // whole inverted index — wrong at any scale); the postings self-join
-    // must shuffle both sides on the 8-byte shingle key (spillable SMJ)
-    a.hint("merge").join(b, Seq("g"))
+  }
+
+  /** Prefix-filtered all-pairs (Chaudhuri et al. ICDE'06 / Bayardo et
+    * al. WWW'07), LOSSLESS for a fixed `minJaccard`: index only each
+    * doc's first `n - ceil(τ·n) + 1` shingles in the global hash order.
+    * If J(A,B) ≥ τ, the smallest common shingle c satisfies c ∈
+    * prefix(A): were c beyond A's prefix, A would hold ≥ ⌈τ|A|⌉
+    * elements smaller than c, none shared with B (c is the smallest
+    * common), so |A∩B| < τ|A| ≤ τ|A∪B| — contradiction. Symmetrically
+    * c ∈ prefix(B), so the prefix-postings join proposes every
+    * qualifying pair; an exact array-intersection verify disposes.
+    * Shuffle volume drops by ~τ× on the postings and quadratically on
+    * hot-shingle pair generation — the 100-TB default. */
+  private def prefixFilteredPairs(sized: DataFrame, minJaccard: Double): DataFrame = {
+    val pfx = sized.select(col("id"), col("n"),
+      explode(slice(col("sh"), lit(1),
+        (col("n") - ceil(col("n") * minJaccard) + 1).cast("int"))).as("g"))
+    val a = pfx.select(col("g"), col("id").as("id_a"))
+    val b = pfx.select(col("g"), col("id").as("id_b"))
+    val cand = a.hint("merge").join(b, Seq("g"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
-      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = sized.select(col("id"), col("sh"), col("n"))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("__sh_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("__sh_b"), col("n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__sh_a"), col("__sh_b"))).as("shared"),
+        col("n_a"), col("n_b"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))

@@ -244,6 +244,26 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(capped.map(p => (p._1, p._2)) == Set(("0", "1")))
   }
 
+  test("prefix-filtered exactJaccardPairs equals the unfiltered exact path") {
+    // varied-overlap corpus: prefixes of a rotating word pool, so pair
+    // similarities spread across the threshold on both sides
+    val pool = (0 until 30).map(i => s"w$i")
+    val texts = (0 until 40).map { d =>
+      val len = 6 + d % 13
+      (0 until len).map(j => pool((d * 3 + j * (1 + d % 4)) % pool.size)).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toString, t) }.toDF("id", "text")
+    for (tau <- Seq(0.3, 0.5, 0.8)) {
+      val exact = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+        k = 2, minJaccard = tau).as[(String, String, Double)].collect().toSet
+      val prefixed = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+        k = 2, minJaccard = tau, prefixFilter = true)
+        .as[(String, String, Double)].collect().toSet
+      assert(prefixed == exact, s"tau=$tau")
+      assert(exact.nonEmpty, s"tau=$tau needs non-trivial pairs to be a real test")
+    }
+  }
+
   test("cosineNearDupPairs: planted identical vectors recovered with recall 1") {
     val rng = new scala.util.Random(7)
     val base = (0 until 60).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
