@@ -264,6 +264,46 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered exactJaccardPairs == exact on randomized corpora (fuzz)") {
+    val rng = new scala.util.Random(2026)
+    for (round <- 0 until 4) {
+      val pool = (0 until 12 + round * 6).map(i => s"t$i")
+      val texts = (0 until 25).map { _ =>
+        val len = 2 + rng.nextInt(18)
+        (0 until len).map(_ => pool(rng.nextInt(pool.size))).mkString(" ")
+      }
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toString, t) }.toDF("id", "text")
+      val tau = Seq(0.35, 0.5, 0.65, 0.8)(round)
+      val exact = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+        k = 1 + round % 3, minJaccard = tau).as[(String, String, Double)].collect().toSet
+      val prefixed = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+        k = 1 + round % 3, minJaccard = tau, prefixFilter = true)
+        .as[(String, String, Double)].collect().toSet
+      assert(prefixed == exact, s"round=$round tau=$tau k=${1 + round % 3}")
+    }
+  }
+
+  test("cosineNearDupPairs: multi-seed tables agree on planted pairs and dedupe candidates") {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(12)(rng.nextGaussian().toFloat)))
+    val rows = base.map { case (i, v) => if (i == 30 || i == 31) (i, base(2)._2) else (i, v) }
+    val df = rows.toDF("vec_id", "embedding")
+    val one = graft.similarity.Ann.cosineNearDupPairs(df, col("vec_id"),
+      col("embedding"), dim = 12, minCosine = 0.999, bits = 8)
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val multi = graft.similarity.Ann.cosineNearDupPairs(df, col("vec_id"),
+      col("embedding"), dim = 12, minCosine = 0.999, bits = 8,
+      seeds = Seq(42L, 7L, 99L))
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val planted = Set((2L, 30L), (2L, 31L), (30L, 31L))
+    assert(one == planted)
+    // extra tables may only ADD recall, and identical-vector pairs are
+    // found by every table — the groupBy dedupes the duplicate proposals
+    assert(multi == planted)
+  }
+
   test("cosineNearDupPairs: planted identical vectors recovered with recall 1") {
     val rng = new scala.util.Random(7)
     val base = (0 until 60).map(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
