@@ -558,6 +558,31 @@ object SparkEntry {
           col("id_b").cast("long").as("id_b"))
     }),
 
+    // pairs → clusters: connected components over the verified simhash
+    // pair graph (min-label propagation), so transitive chains A~B~C
+    // resolve to ONE cluster with a deterministic representative (the
+    // min doc_id) instead of over-deleting both ends of each pair; the
+    // oracle replays the closure with a DuckDB recursive CTE
+    "dedup_cluster_resolve" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text3",
+        when(col("doc_id") % 17 === 3,
+          concat(lit("shared template "), (col("doc_id") % 2).cast("string"),
+            lit(" body of identical tokens for simhash grouping")))
+          .otherwise(col("text")))
+      val cand = SimHash.nearDuplicatePairs(d,
+        col("doc_id").cast("string"), col("text3"), maxDistance = 3)
+      val ta = d.select(col("doc_id").cast("string").as("id_a"), col("text3").as("ta"))
+      val tb = d.select(col("doc_id").cast("string").as("id_b"), col("text3").as("tb"))
+      val pairs = cand.filter(col("distance") === 0)
+        .join(ta, "id_a").join(tb, "id_b")
+        .filter(col("ta") === col("tb"))
+        .select(least(col("id_a").cast("long"), col("id_b").cast("long")).as("id_a"),
+          greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("id_b"))
+      Dedup.duplicateClusters(pairs, col("id_a"), col("id_b"))
+        .select(col("id").cast("long").as("doc_id"),
+          col("cluster").cast("long").as("cluster"))
+    }),
+
     "dedup_paragraph" -> ((s, dir) => {
       val d = docs(s, dir)
         .withColumn("text2", regexp_replace(col("text"), " dup ", "\ndup\n"))
@@ -1357,6 +1382,26 @@ object SparkEntry {
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
           |      JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b)
           |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      // connected components replayed as a recursive reachability
+      // closure: r holds every (node, reachable-node) pair, min = the
+      // deterministic cluster representative
+      "dedup_cluster_resolve" ->
+        """WITH RECURSIVE d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 17 = 3 THEN 'shared template ' ||
+          |    cast(doc_id % 2 AS VARCHAR) ||
+          |    ' body of identical tokens for simhash grouping'
+          |  ELSE text END AS t FROM documents),
+          |p AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+          |             greatest(a.doc_id, b.doc_id) AS id_b
+          |      FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id),
+          |e AS (SELECT id_a AS a, id_b AS b FROM p
+          |      UNION SELECT id_b, id_a FROM p),
+          |r(id, lab) AS (
+          |  SELECT a, a FROM e
+          |  UNION
+          |  SELECT r.id, e.b FROM r JOIN e ON r.lab = e.a)
+          |SELECT id AS doc_id, min(lab) AS cluster FROM r GROUP BY id""".stripMargin,
 
       // exhaustive shingle-set Jaccard, k=4 τ=0.6: shared/(na+nb-shared)
       // is one integer division — bit-exact across engines

@@ -136,4 +136,52 @@ object Dedup {
       .otherwise(transform(starts, s =>
         xxhash64(concat_ws(" ", slice(toks, s + 1, lit(n))))))
   }
+
+  /** Duplicate-CLUSTER resolution: connected components over a near-dup
+    * PAIR table (the output shape of [[MinHashLSH]], [[SimHash]],
+    * [[MinHashLSH.exactJaccardPairs]], `Ann.cosineNearDupPairs`), so a
+    * caller can keep one representative per cluster instead of dropping
+    * both ends of every pair (which over-deletes on transitive chains
+    * A~B~C).
+    *
+    * Algorithm: distributed min-label propagation — every node starts
+    * labeled with itself; each round, a node's label becomes the min of
+    * its own and its neighbors' labels; converged when no label changes.
+    * Rounds = graph diameter (near-dup clusters are clique-like, so 2–3
+    * in practice; `maxIters` bounds adversarial chains). Each round is
+    * one join + one groupBy.min on (node, label) pairs — no vertex ever
+    * holds its component in memory, so components of any size are fine.
+    * `localCheckpoint` truncates the per-round lineage (the iterative-
+    * algorithm requirement; same pattern as MLlib's connected
+    * components). Deterministic: the cluster id is the component's
+    * minimum node id.
+    */
+  def duplicateClusters(pairs: DataFrame, idACol: Column, idBCol: Column,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(idACol.as("a"), idBCol.as("b"))
+    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val neighborLabels = sym
+        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+        .select(col("a").as("id"), col("label"))
+      val updated = labels.unionAll(neighborLabels)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
+        .filter(col("label") =!= col("__old"))
+        .limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      it += 1
+    }
+    require(converged, s"duplicateClusters did not converge in $maxIters rounds")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
 }

@@ -244,6 +244,19 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(capped.map(p => (p._1, p._2)) == Set(("0", "1")))
   }
 
+  test("duplicateClusters: chains, cliques, and isolated pairs resolve to min-id components") {
+    // chain 0-1-2-3-4-5 (diameter 5 forces multi-round propagation),
+    // clique {10,11,12}, isolated pair {20,21}
+    val pairs = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((10L, 11L), (11L, 12L), (10L, 12L)) ++ Seq((20L, 21L)))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs, col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toMap
+    val want = (0L to 5L).map(_ -> 0L).toMap ++
+      Seq(10L, 11L, 12L).map(_ -> 10L).toMap ++ Map(20L -> 20L, 21L -> 20L)
+    assert(got == want)
+  }
+
   test("prefix-filtered exactJaccardPairs equals the unfiltered exact path") {
     // varied-overlap corpus: prefixes of a rotating word pool, so pair
     // similarities spread across the threshold on both sides
