@@ -21,7 +21,7 @@ import scala.jdk.CollectionConverters._
   * Config:
   * {{{
   * {
-  *   "input":   {"format": "parquet", "path": "...", "id": "id", "text": "content"},
+  *   "input":   {"format": "parquet|jsonl|table", "path": "...", "id": "id", "text": "content"},
   *   "taggers": ["gopher_v2", "pii_regex_with_counts_fast_v2"],
   *   "experiment": "exp",
   *   "dedupe":  {"enabled": true, "mode": "documents|paragraphs|ngrams",
@@ -31,7 +31,7 @@ import scala.jdk.CollectionConverters._
   *   "span_replacement": [{"span": "exp__...__EMAIL_ADDRESS", "min_score": 0.5,
   *                         "replacement": "[EMAIL]"}],
   *   "min_text_length": 1,
-  *   "output":  {"path": "...", "format": "parquet"},
+  *   "output":  {"path": "...", "format": "parquet|jsonl|table"},
   *   "attributes_output": "...",   // optional
   *   "metrics_output": "...",      // optional: lineage + rule metrics
   *   "ledger": "..."               // optional: resume checkpoint
@@ -49,6 +49,16 @@ import scala.jdk.CollectionConverters._
   * cross-run dedup state use the sharded Bloom path
   * ([[graft.dedup.DistributedBloom]]), which persists like the
   * reference's Bloom file does.
+  *
+  * `"format": "table"` reads a CATALOGED table (`spark.read.table`) —
+  * the zero-code-change seam for an Iceberg/Delta/Hive deployment: point
+  * `path` at the catalog table name and the catalog's own snapshot
+  * isolation governs what a run sees. The file-grain `ledger` does NOT
+  * compose with table input (a snapshot's membership is the catalog's
+  * concern, not a file listing; re-running over a new snapshot would
+  * alias old ledger keys) — configs combining the two are rejected.
+  * Engine-side resume for tables belongs to the catalog: read a pinned
+  * snapshot, write, then advance the pin.
   */
 object Main {
 
@@ -78,6 +88,7 @@ object Main {
     val inFormat = opt(input, "format").getOrElse("parquet")
     val raw0 = inFormat match {
       case "jsonl" => graft.sources.Jsonl.readDocuments(spark, input.get("path").asText())
+      case "table" => spark.read.table(input.get("path").asText())
       case _ => spark.read.parquet(input.get("path").asText())
     }
 
@@ -87,7 +98,13 @@ object Main {
     // ledger stays O(input files) — never O(documents) — and a resumed
     // run does zero I/O on completed shards.
     val ledger = Option(cfg.get("ledger")).map(n => Checkpoint(spark, n.asText()))
-    val allFiles = raw0.inputFiles.toSeq.sorted
+    require(ledger.isEmpty || inFormat != "table",
+      "file-grain ledger resume does not compose with table input: the " +
+        "catalog's snapshot isolation owns membership — pin a snapshot " +
+        "in the catalog instead (see Main scaladoc)")
+    val allFiles =
+      if (inFormat == "table") Seq.empty[String]
+      else raw0.inputFiles.toSeq.sorted
     val doneKeys = ledger.map(_.completedKeySet()).getOrElse(Set.empty[String])
     val pendingFiles = allFiles.filterNot(doneKeys)
     // Fully resumed run: every input file is already committed in the
@@ -289,6 +306,16 @@ object Main {
       case "jsonl" =>
         writeCommitted((path, mode) =>
           graft.sources.Jsonl.writeDocuments(mixed, path, mode = mode), outPath)
+      case "table" =>
+        // catalog output (the seam matching "format": "table" input): the
+        // catalog's atomic commit replaces the staging/promote dance, and
+        // file-grain resume doesn't compose with snapshot tables — same
+        // rule as on the input side.
+        require(!resuming,
+          "table output does not compose with file-grain ledger resume: " +
+            "the catalog's snapshot commit owns atomicity (see Main scaladoc)")
+        mixed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .saveAsTable(outPath)
       case _ =>
         writeCommitted((path, mode) =>
           mixed.write.mode(mode).parquet(path), outPath)
@@ -316,6 +343,7 @@ object Main {
         .write.mode("overwrite").parquet(p + "/rules")
       val written = outFormat match {
         case "jsonl" => graft.sources.Jsonl.readDocuments(spark, outPath)
+        case "table" => spark.read.table(outPath)
         case _ => spark.read.parquet(outPath)
       }
       Metrics.fileLineage(written, col("id"))

@@ -157,6 +157,9 @@ object ScalingBench {
     val aluFloor = gateAlu32 * 0.85
 
     val maxAttempts = 3
+    def legClean(l: LegTicks): Boolean =
+      l.tickFraction >= minTickFraction &&
+        math.min(l.aluBefore, l.aluAfter) >= aluFloor
     def run(cpus: Int, heapGb: Int): ((Double, Double, Long), LegTicks) = {
       var best: ((Double, Double, Long), LegTicks) = null
       var attempt = 0
@@ -175,10 +178,16 @@ object ScalingBench {
         System.err.println(f"DEBUG leg local[$cpus] attempt $attempt: " +
           f"wall ${wall}%.1fs tickFraction $frac%.3f steal ${s1 - s0} " +
           f"iowait ${io1 - io0} sys ${sy1 - sy0} alu $alu0%.3f->$alu1%.3f (floor $aluFloor%.3f)")
-        if (best == null ||
-            (frac > best._2.tickFraction &&
-              math.min(alu0, alu1) >= math.min(best._2.aluBefore, best._2.aluAfter)))
-          best = (r, leg)
+        // A guard-PASSING attempt always wins (round-5 fix: the round-4
+        // rule required a strictly higher tickFraction, so a clean retry
+        // could lose to an earlier frequency-capped attempt and the
+        // headline recorded the throttled reading); among failures, keep
+        // the least frequency-capped.
+        val better = best == null ||
+          (legClean(leg) && !legClean(best._2)) ||
+          (legClean(leg) == legClean(best._2) &&
+            math.min(alu0, alu1) > math.min(best._2.aluBefore, best._2.aluAfter))
+        if (better) best = (r, leg)
         if (frac >= minTickFraction && aluOk) done = true
         else if (attempt < maxAttempts) {
           val cool = if (aluOk) 60L * attempt else 180L * attempt
@@ -199,15 +208,25 @@ object ScalingBench {
     // reported figure is the per-leg MIN across reps (noise-floor
     // estimator), with every per-rep ratio published alongside.
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    // SPARK_GRAFT_SCALE_LEVELS (default "2,8,32"): a subset like "8,32"
+    // runs just that adjacent pair — the cheap re-attempt mode for the
+    // 8→32 criterion when a full invocation's 2-leg (~15 min) would burn
+    // the clean window. Non-default level sets APPEND an addendum to
+    // BENCH/BASELINE.md instead of overwriting the headline.
+    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    require(levels.sliding(2).forall(p => p.size < 2 || p(0) < p(1)),
+      "levels must be increasing")
+    def heapFor(c: Int) = if (c <= 2) 4 else c * 3 / 2
     val measured = (1 to reps).map { r =>
-      val s = Seq(run(2, 4), run(8, 12), run(32, 48))
+      val s = levels.map(c => run(c, heapFor(c)))
       System.err.println(s"DEBUG rep $r: " + s.map(x => f"${x._1._1}%.1f").mkString("/"))
       s
     }
     val samples = measured.map(_.map(_._1))
     val legEvidence = measured.flatMap(_.map(_._2))
     val legTable = legEvidence.zipWithIndex.map { case (l, i) =>
-      f"| ${i / 3 + 1} | local[${l.cpus}] | ${l.wallSec}%.1f | ${l.tickFraction}%.3f | ${l.stealTicks} | ${l.iowaitTicks} | ${l.sysTicks} | ${l.aluBefore}%.3f→${l.aluAfter}%.3f | ${l.attempts} |"
+      f"| ${i / levels.size + 1} | local[${l.cpus}] | ${l.wallSec}%.1f | ${l.tickFraction}%.3f | ${l.stealTicks} | ${l.iowaitTicks} | ${l.sysTicks} | ${l.aluBefore}%.3f→${l.aluAfter}%.3f | ${l.attempts} |"
     }.mkString("\n")
     val allClean = ambientHealthy && legEvidence.forall(l =>
       l.tickFraction >= minTickFraction &&
@@ -217,6 +236,41 @@ object ScalingBench {
     val kept2 = kepts.head; val kept8 = kepts.head; val kept32 = kepts.head
     def legMin(i: Int, f: ((Double, Double, Long)) => Double): Double =
       samples.map(s => f(s(i))).min
+    if (levels != Seq(2, 8, 32)) {
+      // pair/ad-hoc mode: append evidence, never overwrite the headline
+      val mins = levels.indices.map(i => (legMin(i, _._1), legMin(i, _._2)))
+      val pairLines = levels.indices.drop(1).map { i =>
+        val factor = levels(i).toDouble / levels(i - 1)
+        val ep = (mins(i - 1)._1 / mins(i)._1) / factor
+        val et = (mins(i - 1)._2 / mins(i)._2) / factor
+        f"| ${levels(i - 1)}→${levels(i)} | ${mins(i - 1)._1}%.2f → ${mins(i)._1}%.2f | $ep%.3f | ${mins(i - 1)._2}%.2f → ${mins(i)._2}%.2f | $et%.3f |"
+      }.mkString("\n")
+      val addendum =
+        s"""
+           |## Ad-hoc pair invocation (levels ${levels.mkString("/")}, $nDocs docs, $reps rep(s), per-leg min)
+           |
+           |Ambient at start: ALU 8t ${f"$gateAlu8%.3f"} / 32t ${f"$gateAlu32%.3f"}
+           |Gop/s/core, 8→32 ratio ${f"$gateRatio%.3f"} (healthy: $ambientHealthy;
+           |per-leg floor ${f"$aluFloor%.3f"}). Kept rows ${kepts.head} at every level.
+           |
+           || pair | pipeline (s) | eff | tag (s) | eff |
+           ||---|---|---|---|---|
+           |$pairLines
+           |
+           || rep | leg | wall (s) | tickFraction | steal ticks | iowait ticks | sys ticks | alu before→after | attempts |
+           ||---|---|---|---|---|---|---|---|---|
+           |$legTable
+           |
+           |All legs clean (both guards): **$allClean**
+           |""".stripMargin
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), addendum,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      println(addendum)
+      println(f"""{"metric":"scaling_pair","levels":"${levels.mkString("/")}","all_legs_clean":$allClean,"ambient_alu_ratio":$gateRatio%.3f}""")
+      return
+    }
     val (p2, g2) = (legMin(0, _._1), legMin(0, _._2))
     val (p8, g8) = (legMin(1, _._1), legMin(1, _._2))
     val (p32, g32) = (legMin(2, _._1), legMin(2, _._2))

@@ -748,15 +748,17 @@ object SparkEntry {
         .agg(max(col("total")).as("n_occurrences"), sum(col("dups")).as("n_dups"))
     }),
 
-    // image rows are REAL PNGs decoded by the JDK ImageIO decoder — their
-    // width/height come from the actual decoded raster (the oracle's
-    // formula holds only if the real decode is correct); audio/video stay
-    // on the FakeDecoder seam
+    // image rows are REAL PNGs decoded by the JDK ImageIO decoder and
+    // audio rows are REAL WAVs decoded by the JDK javax.sound codec —
+    // width/height/n_frames come from the actual decodes (the oracle's
+    // formulas hold only if both real decodes are correct; for audio the
+    // schema maps width=sample rate, height=channels, n_frames=PCM
+    // frames); video stays on the FakeDecoder seam
     "multimodal_features" -> ((s, _) =>
       graft.multimodal.Multimodal.resizePlan(
         graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.syntheticMedia(s, 200L),
-          new graft.multimodal.Multimodal.ImageIoDecoder()), maxDim = 256)
+          graft.multimodal.Multimodal.realDecoder()), maxDim = 256)
         .select(col("id"), col("media_type"), col("width"), col("height"),
           col("n_frames"), col("out_width"), col("out_height"))),
 
@@ -873,6 +875,42 @@ object SparkEntry {
         .writeShards(d, col("doc_id"), col("toks"), out, numShards = 8)
         .select(col("id").cast("long").as("doc_id"),
           (col("end") - col("start")).as("n_tokens"))
+    }),
+
+    // reshard end-to-end: BPE-encode -> 16 small shards -> merge to a
+    // 64 KiB floor -> decode every doc from its RE-BASED (shard, start,
+    // end) range in the merged files; sha256 of the decode must equal
+    // sha256(text) (any offset-shift or byte-splice error corrupts the
+    // token stream and the sha). Ref python/dolma/tokenizer/reshard.py.
+    // NOTE harness-local like tokens_sink: temp-dir fixture + driver-side
+    // shard readback for the check; reshard itself moves bytes task-side.
+    "tokens_reshard" -> ((s, dir) => {
+      val src = java.nio.file.Files.createTempDirectory("graft-reshard-src").toString
+      val dst = java.nio.file.Files.createTempDirectory("graft-reshard-dst").toString
+      val bc = s.sparkContext.broadcast(Models.codeBpe)
+      val enc = udf((t: String) =>
+        bc.value.encode(if (t == null) "" else t)
+          .map(_ + graft.sources.TokenSink.FirstVocabId) :+
+          graft.sources.TokenSink.EosId)
+      val d = docs(s, dir).withColumn("toks", enc(col("text")))
+      val meta = graft.sources.TokenSink
+        .writeShards(d, col("doc_id"), col("toks"), src, numShards = 16)
+        .localCheckpoint() // materialize: shards must exist before reshard
+      val newMeta = graft.sources.TokenSink
+        .reshard(s, src, meta, dst, minSizeBytes = 64L * 1024)
+        .localCheckpoint()
+      val shardData = newMeta.select(col("shard")).distinct()
+        .collect().map(_.getString(0))
+        .map(n => n -> graft.sources.TokenSink.readShard(s, dst, n)).toMap
+      val bcShards = s.sparkContext.broadcast(shardData)
+      val dec = udf((shard: String, start: Long, end: Long) => {
+        val ids = bcShards.value(shard).slice(start.toInt, end.toInt)
+        bc.value.decode(ids.dropRight(1) // trailing eos
+          .map(_ - graft.sources.TokenSink.FirstVocabId).toSeq)
+      })
+      newMeta.select(col("id").cast("long").as("doc_id"),
+        sha2(dec(col("shard"), col("start"), col("end")), 256).as("roundtrip_sha"),
+        octet_length(dec(col("shard"), col("start"), col("end"))).cast("long").as("n_bytes"))
     }),
 
     // distributed bigram LM with absolute discounting (D=0.75, unigram
@@ -1502,6 +1540,12 @@ object SparkEntry {
         s"""SELECT doc_id, cast(len($wordsSql) + 1 AS BIGINT) AS n_tokens
            |FROM documents""".stripMargin,
 
+      // sink -> reshard -> decode is the identity on every document
+      "tokens_reshard" ->
+        """SELECT doc_id, sha256(text) AS roundtrip_sha,
+          | strlen(text) AS n_bytes
+          |FROM documents""".stripMargin,
+
       // bigram LM scoring replayed from the same corpus counts; the
       // probability expression is rational double arithmetic evaluated in
       // the same association order on both engines (bit-exact), quantized
@@ -1689,14 +1733,16 @@ object SparkEntry {
           | cast(CASE WHEN doc_id % 2 = 0 THEN 0.33 ELSE 0.5 END AS DOUBLE) AS prose_pct
           |FROM k""".stripMargin,
 
-      // the decoder reads dimensions from the deterministic GRFT container
-      // header, so the metadata columns are pure arithmetic on the row id
+      // image: real PNG raster dims (= the generator's arithmetic);
+      // audio: real WAV decode (rate 8000 Hz, mono, 1600+(i*37)%2048
+      // frames); video: GRFT header arithmetic
       "multimodal_features" ->
         """WITH f AS (SELECT 'm' || i AS id,
           |  CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-          |  cast(64 + (i * 37) % 512 AS INT) AS width,
-          |  cast(64 + (i * 53) % 512 AS INT) AS height,
-          |  cast(CASE WHEN i % 3 = 2 THEN 1 + (i * 29) % 64 ELSE 1 END AS INT) AS n_frames
+          |  cast(CASE WHEN i % 3 = 1 THEN 8000 ELSE 64 + (i * 37) % 512 END AS INT) AS width,
+          |  cast(CASE WHEN i % 3 = 1 THEN 1 ELSE 64 + (i * 53) % 512 END AS INT) AS height,
+          |  cast(CASE WHEN i % 3 = 2 THEN 1 + (i * 29) % 64
+          |       WHEN i % 3 = 1 THEN 1600 + (i * 37) % 2048 ELSE 1 END AS INT) AS n_frames
           | FROM range(200) t(i))
           |SELECT id, media_type, width, height, n_frames,
           | cast(CASE WHEN greatest(width, height) <= 256 THEN width

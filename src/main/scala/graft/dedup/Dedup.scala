@@ -144,17 +144,20 @@ object Dedup {
     * both ends of every pair (which over-deletes on transitive chains
     * A~B~C).
     *
-    * Algorithm: distributed min-label propagation — every node starts
-    * labeled with itself; each round, a node's label becomes the min of
-    * its own and its neighbors' labels; converged when no label changes.
-    * Rounds = graph diameter (near-dup clusters are clique-like, so 2–3
-    * in practice; `maxIters` bounds adversarial chains). Each round is
-    * one join + one groupBy.min on (node, label) pairs — no vertex ever
-    * holds its component in memory, so components of any size are fine.
-    * `localCheckpoint` truncates the per-round lineage (the iterative-
-    * algorithm requirement; same pattern as MLlib's connected
-    * components). Deterministic: the cluster id is the component's
-    * minimum node id.
+    * Algorithm: distributed min-label propagation with POINTER DOUBLING
+    * — every node starts labeled with itself; each round, a node's label
+    * becomes the min of its own and its neighbors' labels (one edge hop),
+    * then labels are shortcut through themselves (`label ← label(label)`,
+    * the pointer-jumping step), so the effective reach doubles every
+    * round and convergence is O(log diameter) instead of O(diameter):
+    * a 1,000-link chain resolves in ~10 rounds, well inside the default
+    * `maxIters` (clique-like near-dup clusters still finish in 2–3).
+    * Each round is two joins + one groupBy.min on (node, label) pairs —
+    * no vertex ever holds its component in memory, so components of any
+    * size are fine. `localCheckpoint` truncates the per-round lineage
+    * (the iterative-algorithm requirement; same pattern as MLlib's
+    * connected components). Deterministic: the cluster id is the
+    * component's minimum node id.
     */
   def duplicateClusters(pairs: DataFrame, idACol: Column, idBCol: Column,
       maxIters: Int = 20): DataFrame = {
@@ -170,8 +173,17 @@ object Dedup {
       val neighborLabels = sym
         .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
         .select(col("a").as("id"), col("label"))
-      val updated = labels.unionAll(neighborLabels)
+      val propagated = labels.unionAll(neighborLabels)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
+      // pointer doubling: every label value is itself a node id (labels
+      // are mins over node ids), so label(label) is always defined; the
+      // inner self-join therefore preserves all rows, and since labels
+      // only decrease monotonically, least() equals label(label) — kept
+      // for robustness.
+      val updated = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"))
+        .select(col("id"), least(col("label"), col("__ll")).as("label"))
         .localCheckpoint()
       val changed = updated
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
@@ -181,7 +193,10 @@ object Dedup {
       converged = !changed
       it += 1
     }
-    require(converged, s"duplicateClusters did not converge in $maxIters rounds")
+    require(converged,
+      s"duplicateClusters did not converge in $maxIters rounds (reach is " +
+        s"2^rounds edges, so this graph's diameter exceeds ~2^$maxIters — " +
+        "raise maxIters)")
     labels.select(col("id"), col("label").as("cluster"))
   }
 }

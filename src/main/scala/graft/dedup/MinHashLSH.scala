@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection (Broder 1997 resemblance
@@ -71,15 +71,38 @@ object MinHashLSH {
 
   /** Candidate near-duplicate pairs with estimated Jaccard from signature
     * agreement, deduplicated across bands. `maxBucketSize` guards against
-    * degenerate buckets (skew guard). */
+    * degenerate buckets (skew guard). Dropped work is NOT silent: pass
+    * `dropObs` (a fresh [[Observation]]) and after any action on the
+    * result read `dropped_rows` / `dropped_buckets` — at 100 TB a cap
+    * that discards hot buckets must show up in metrics, not read as full
+    * coverage. The cap itself is a groupBy-count joined back (bucket keys
+    * aggregate map-side and the tiny size table joins on the same key —
+    * no per-row sort the equivalent count-window would do). AQE caveat:
+    * a completely EMPTY final output can be empty-propagated over the
+    * metrics node at runtime (Observation reports {}); audit runs that
+    * must count drops even then should disable
+    * `spark.sql.adaptive.enabled` (Spec-pinned behavior). */
   def nearDuplicatePairs(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, numPerms: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+      minJaccard: Double = 0.5, maxBucketSize: Int = 1000,
+      dropObs: Option[Observation] = None): DataFrame = {
     val buckets = bandedBuckets(df, idCol, textCol, k, numPerms, bands)
-    val capped = buckets
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bucket"))))
-      .filter(col("__bsize") <= maxBucketSize)
+    val sizes = buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsize"))
+    val marked = buckets.join(sizes, Seq("band", "bucket"))
+    // observe on the MAIN stream (post-join), not the aggregated side —
+    // the tiny size table broadcasts, and metrics inside a broadcast
+    // exchange never reach the Observation. Each oversized bucket's rows
+    // count 1 each (Σ = dropped_rows) and 1/bsize each (Σ = exact
+    // dropped-bucket count, rounded against fp drift).
+    val observed = dropObs.map(o => marked.observe(o,
+        sum(when(col("__bsize") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_rows"),
+        round(sum(when(col("__bsize") > maxBucketSize,
+            lit(1.0) / col("__bsize")).otherwise(lit(0.0))))
+          .cast("long").as("dropped_buckets")))
+      .getOrElse(marked)
+    val capped = observed.filter(col("__bsize") <= maxBucketSize)
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("band", "bucket"))
@@ -110,21 +133,48 @@ object MinHashLSH {
     * at `minJaccard` is dropped with probability ~1e-3 — below the
     * documented banding miss, not on top of it. Pass an explicit smaller
     * slack only when the collision pair set is the dominant cost and the
-    * extra recall is worth trading away. */
+    * extra recall is worth trading away.
+    *
+    * Skew: a hot template (one doc near-dup'd by thousands) makes a
+    * single `id_a`/`id_b` value carry most of the candidate pairs, so
+    * the text-fetch joins hotspot one task. `textJoinSalt > 0` salts
+    * them: the unique-per-id text side is replicated `textJoinSalt`
+    * ways and each pair row picks the replica by hashing its OTHER id
+    * (which varies across a hot id's pairs), spreading a hot key over
+    * `textJoinSalt` tasks at the cost of a textJoinSalt× larger text
+    * side — same output, shuffle-balanced. 0 (default) keeps the plain
+    * joins and leaves residual skew to AQE's runtime skew-join split. */
   def verifiedNearDuplicatePairs(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, numPerms: Int = 32, bands: Int = 16,
       minJaccard: Double = 0.5, maxBucketSize: Int = 1000,
-      estSlack: Double = Double.NaN): DataFrame = {
+      estSlack: Double = Double.NaN, textJoinSalt: Int = 0,
+      dropObs: Option[Observation] = None): DataFrame = {
     val slack =
       if (estSlack.isNaN) 3.0 * math.sqrt(0.25 / numPerms) else estSlack
     val cand = nearDuplicatePairs(df, idCol, textCol, k, numPerms, bands,
       minJaccard = math.max(0.0, minJaccard - slack),
-      maxBucketSize = maxBucketSize)
+      maxBucketSize = maxBucketSize, dropObs = dropObs)
       .select(col("id_a"), col("id_b"))
     val texts = df.select(idCol.as("__tid"), textCol.as("__ttext"))
-    cand
-      .join(texts.select(col("__tid").as("id_a"), col("__ttext").as("__text_a")), Seq("id_a"))
-      .join(texts.select(col("__tid").as("id_b"), col("__ttext").as("__text_b")), Seq("id_b"))
+    val fetched =
+      if (textJoinSalt <= 0)
+        cand
+          .join(texts.select(col("__tid").as("id_a"), col("__ttext").as("__text_a")), Seq("id_a"))
+          .join(texts.select(col("__tid").as("id_b"), col("__ttext").as("__text_b")), Seq("id_b"))
+      else {
+        val s = lit(textJoinSalt)
+        val reps = explode(sequence(lit(0), s - 1)).as("__salt")
+        val textsA = texts.select(col("__tid").as("id_a"),
+          col("__ttext").as("__text_a"), reps)
+        val textsB = texts.select(col("__tid").as("id_b"),
+          col("__ttext").as("__text_b"), reps)
+        cand
+          .withColumn("__salt", pmod(xxhash64(col("id_b")), s).cast("int"))
+          .join(textsA, Seq("id_a", "__salt"))
+          .withColumn("__salt", pmod(xxhash64(col("id_a")), s).cast("int"))
+          .join(textsB, Seq("id_b", "__salt"))
+      }
+    fetched
       .select(col("id_a"), col("id_b"),
         exactJaccard(col("__text_a"), col("__text_b"), k).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
@@ -161,7 +211,8 @@ object MinHashLSH {
   def exactJaccardPairs(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, minJaccard: Double = 0.5,
       maxShingleDf: Option[Long] = None,
-      prefixFilter: Boolean = false): DataFrame = {
+      prefixFilter: Boolean = false,
+      dropObs: Option[Observation] = None): DataFrame = {
     // tokens staged through their own projection so the window lambda
     // binds an attribute (one tokenization per row, not per window);
     // CollapseProject keeps the stages apart because the reference is
@@ -174,9 +225,22 @@ object MinHashLSH {
       val postings = sized.select(col("id"), col("n"), explode(col("sh")).as("g"))
       val kept = maxShingleDf match {
         case Some(cap) =>
-          val rare = postings.groupBy(col("g"))
-            .agg(count(lit(1)).as("__df")).filter(col("__df") <= cap)
-          postings.join(rare.select(col("g")), Seq("g"), "left_semi")
+          val dfs = postings.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+          // surface what the df cap throws away (dropped postings =
+          // hot-shingle occurrences excluded from intersection counting).
+          // The df table rides an inner join instead of a semi-join so
+          // the observe sits on the MAIN posting stream — metrics inside
+          // the broadcast the tiny df table becomes would never reach
+          // the Observation. Each dropped posting counts 1; 1/df sums to
+          // the exact dropped-shingle count (rounded against fp drift).
+          val joined = postings.join(dfs, Seq("g"))
+          val observed = dropObs.map(o => joined.observe(o,
+              sum(when(col("__df") > cap, 1L).otherwise(0L))
+                .as("dropped_postings"),
+              round(sum(when(col("__df") > cap, lit(1.0) / col("__df"))
+                .otherwise(lit(0.0)))).cast("long").as("dropped_shingles")))
+            .getOrElse(joined)
+          observed.filter(col("__df") <= cap).drop("__df")
         case None => postings
       }
       val a = kept.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
@@ -206,11 +270,18 @@ object MinHashLSH {
     * c ∈ prefix(B), so the prefix-postings join proposes every
     * qualifying pair; an exact array-intersection verify disposes.
     * Shuffle volume drops by ~τ× on the postings and quadratically on
-    * hot-shingle pair generation — the 100-TB default. */
+    * hot-shingle pair generation — the 100-TB default.
+    *
+    * The ceiling is computed on a DOUBLE product, which for some (τ, n)
+    * overshoots the true rational ceiling by 1 (e.g. τ=0.28 · n=25 =
+    * 7.000000000000001, ceil → 8 where ⌈7⌉ = 7), shortening the prefix
+    * below the lossless bound; the 1e-9 downward guard restores exact
+    * ⌈τn⌉ for any representable τ (a one-longer prefix would also be
+    * safe — only less pruning — but the guarded ceil is tight). */
   private def prefixFilteredPairs(sized: DataFrame, minJaccard: Double): DataFrame = {
     val pfx = sized.select(col("id"), col("n"),
       explode(slice(col("sh"), lit(1),
-        (col("n") - ceil(col("n") * minJaccard) + 1).cast("int"))).as("g"))
+        (col("n") - ceil(col("n") * minJaccard - lit(1e-9)) + 1).cast("int"))).as("g"))
     val a = pfx.select(col("g"), col("id").as("id_a"))
     val b = pfx.select(col("g"), col("id").as("id_b"))
     val cand = a.hint("merge").join(b, Seq("g"))

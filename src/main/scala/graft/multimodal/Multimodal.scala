@@ -114,6 +114,69 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decoding via the JDK's own `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM — no external dependency): the payload is parsed by
+    * the actual JDK codec, and the feature row maps the audio facts onto
+    * the media schema as `width` = sample rate (Hz), `height` = channel
+    * count, `n_frames` = PCM sample frames. The embedding is a genuine
+    * waveform feature: the signal is cut into 16 equal segments and each
+    * slot holds that segment's RMS amplitude normalized to [0,1]
+    * (16-bit samples / 32768). Non-audio media and payloads the codec
+    * cannot parse delegate to `fallback` — after this decoder only the
+    * video codec remains a declared stub. */
+  final class WavDecoder(fallback: MediaDecoder = FakeDecoder)
+      extends MediaDecoder {
+    def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (mediaType != "audio") return fallback.decode(mediaType, format, payload)
+      val stream =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (stream == null) return fallback.decode(mediaType, format, payload)
+      try {
+        val fmt = stream.getFormat
+        val channels = fmt.getChannels
+        val sampleRate = fmt.getSampleRate.toInt
+        val nFrames = stream.getFrameLength.toInt
+        val bytes = stream.readAllBytes()
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val big = fmt.isBigEndian
+        val emb = new Array[Float](16)
+        if (nFrames > 0 && bytesPerSample == 2) {
+          var seg = 0
+          while (seg < 16) {
+            val f0 = seg * nFrames / 16
+            val f1 = math.max((seg + 1) * nFrames / 16, f0 + 1)
+            var sumSq = 0.0; var n = 0
+            var f = f0
+            while (f < math.min(f1, nFrames)) {
+              // first channel of the frame
+              val o = f * fmt.getFrameSize
+              if (o + 1 < bytes.length) {
+                val s =
+                  if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+                  else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+                sumSq += (s / 32768.0) * (s / 32768.0)
+                n += 1
+              }
+              f += 1
+            }
+            emb(seg) = if (n == 0) 0f else math.sqrt(sumSq / n).toFloat
+            seg += 1
+          }
+        }
+        (sampleRate, channels, nFrames, emb)
+      } finally stream.close()
+    }
+  }
+
+  /** The full real-codec chain this build ships: JDK ImageIO for images,
+    * JDK javax.sound for audio, [[FakeDecoder]] for video only. */
+  def realDecoder(): MediaDecoder = new ImageIoDecoder(new WavDecoder(FakeDecoder))
+
   /** Feature extraction over a media table: one decoder instance per
     * partition, rows processed in order (a real decoder would batch). */
   def extractFeatures(media: DataFrame, decoder: MediaDecoder = FakeDecoder): DataFrame = {
@@ -181,10 +244,13 @@ object Multimodal {
     * REAL PNGs (encoded with the JDK's ImageIO) of width 64+(i*37)%512,
     * height 64+(i*53)%512, filled with the constant gray (i*7)%256 — so
     * [[ImageIoDecoder]] exercises a genuine decode whose dimensions and
-    * mean luminance are analytically known. Audio/video payloads remain
-    * "GRFT" containers — 9-byte header (magic, u16 width, u16 height, u8
-    * frames = video ? 1+(i*29)%64 : 1) plus hash-noise body — for the
-    * [[FakeDecoder]] seam. */
+    * mean luminance are analytically known. Audio rows are REAL 16-bit
+    * mono PCM WAVs at 8 kHz with 1600+(i*37)%2048 sample frames of
+    * deterministic hash noise — so [[WavDecoder]] exercises a genuine
+    * JDK decode whose rate/channels/frame count are analytically known.
+    * Video payloads remain "GRFT" containers — 9-byte header (magic, u16
+    * width, u16 height, u8 frames = 1+(i*29)%64) plus hash-noise body —
+    * for the [[FakeDecoder]] seam. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -194,12 +260,18 @@ object Multimodal {
       val fmt = mediaType match {
         case "image" => "png"; case "audio" => "wav"; case _ => "mp4"
       }
-      val w = 64 + ((i * 37) % 512).toInt
-      val h = 64 + ((i * 53) % 512).toInt
       val payload = if (mediaType == "image") {
+        val w = 64 + ((i * 37) % 512).toInt
+        val h = 64 + ((i * 53) % 512).toInt
         syntheticPng(w, h, ((i * 7) % 256).toInt)
+      } else if (mediaType == "audio") {
+        val nSamples = 1600 + ((i * 37) % 2048).toInt
+        syntheticWav(8000, Array.tabulate(nSamples)(j =>
+          (graft.functions.Hashing.mix64(i * 131 + j) & 0xffff).toShort))
       } else {
-        val frames = if (mediaType == "video") 1 + ((i * 29) % 64).toInt else 1
+        val w = 64 + ((i * 37) % 512).toInt
+        val h = 64 + ((i * 53) % 512).toInt
+        val frames = 1 + ((i * 29) % 64).toInt
         val header = Array[Byte]('G', 'R', 'F', 'T',
           ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
           ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
@@ -210,6 +282,26 @@ object Multimodal {
       }
       (s"m$i", mediaType, fmt, payload)
     }.toDF("id", "media_type", "format", "payload")
+  }
+
+  /** A real RIFF/WAVE file: canonical 44-byte PCM header + 16-bit
+    * little-endian mono samples at `sampleRate` Hz. */
+  def syntheticWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
   }
 
   /** A real PNG of the given dimensions filled with a constant gray. */

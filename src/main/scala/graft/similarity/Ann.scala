@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`array<float>`).
@@ -41,10 +41,18 @@ object Ann {
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
 
-  /** Pairwise cosine between two embedding columns (for joins). */
-  def cosine(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x) / (norm(a) * norm(b))
+  /** Pairwise cosine between two embedding columns (for joins). NULL for
+    * zero-norm inputs: under ANSI mode (Spark 4 default) the 0/0 would
+    * THROW, and in legacy mode it yields NaN which Spark orders above
+    * every double — either way a degenerate all-zero embedding must not
+    * satisfy `cosine >= threshold`, so the division is guarded and the
+    * no-signal case surfaces as NULL (falsy in any comparison). */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den > 0,
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x) / den)
+  }
 
   /** Random-hyperplane signature: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (seeded by index — no stored
@@ -88,33 +96,65 @@ object Ann {
     * proposes, exact pairwise cosine disposes.
     *
     * Recall: identical vectors project to identical sign bits, so exact
-    * duplicates always share a bucket — recall 1 by construction (the
-    * property the oracle exercises). A merely-near pair at angle θ shares
-    * the bucket with probability (1-θ/π)^bits — raise recall by unioning
-    * several `seed`s (independent hash tables), the standard Charikar
-    * amplification; each table is one more narrow scan + bucket shuffle.
+    * duplicates always share a bucket — recall 1 by construction FOR
+    * CLUSTERS UNDER `maxBucketSize` (the property the oracle exercises;
+    * a duplicate cluster larger than the cap is dropped by the skew
+    * guard, and the drop is surfaced through `dropObs`, below). A
+    * merely-near pair at angle θ shares the bucket with probability
+    * (1-θ/π)^bits — raise recall by unioning several `seed`s
+    * (independent hash tables), the standard Charikar amplification;
+    * each table is one more narrow scan + bucket shuffle.
     *
     * Scale: vectors never fan out (one bucket row per vector per table);
     * the wide ops are the bucket self-join and the per-pair verify.
     * Degenerate buckets (zero vectors, constant embeddings) are capped by
-    * `maxBucketSize` — same skew guard as [[graft.dedup.MinHashLSH]]. */
+    * `maxBucketSize` — same skew guard as [[graft.dedup.MinHashLSH]], and
+    * like there the cap is observable: pass `dropObs` and read
+    * `dropped_rows` / `dropped_buckets` after an action, so truncated
+    * coverage never silently reads as full coverage. The cap is a
+    * groupBy-count joined back on the bucket key (map-side combined; no
+    * per-row sort a count-window would pay). AQE caveat: if the query's
+    * FINAL output comes back completely empty, AQE's runtime
+    * empty-relation propagation may eliminate the metrics node with the
+    * emptied plan and the Observation reports {} — for an audit run that
+    * must count drops even at zero output, disable
+    * `spark.sql.adaptive.enabled` (Spec-pinned behavior).
+    *
+    * Degenerate zero-norm vectors cosine to NaN (0/0), and Spark orders
+    * NaN above every double — an unguarded `>= minCosine` would emit
+    * false pairs for all-zero embeddings sharing the all-ones bucket.
+    * The verify treats NaN as -1 (no similarity evidence), so zero-norm
+    * vectors never pair. */
   def cosineNearDupPairs(df: DataFrame, idCol: Column, vecCol: Column,
       dim: Int, minCosine: Double, bits: Int = 12, seeds: Seq[Long] = Seq(42L),
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, dropObs: Option[Observation] = None): DataFrame = {
     val tables = seeds.zipWithIndex.map { case (seed, t) =>
       df.select(idCol.as("id"), vecCol.as("v"), lit(t).as("table"),
         hyperplaneBucket(vecCol, dim, bits, seed).as("bucket"))
     }
     val bucketed = tables.reduce(_ unionAll _)
-    val capped = bucketed
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("bucket"))))
-      .filter(col("__bsize") <= maxBucketSize)
+    val sizes = bucketed.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("__bsize"))
+    val marked = bucketed.join(sizes, Seq("table", "bucket"))
+    // observe on the MAIN stream (post-join), not the aggregated side —
+    // the tiny size table broadcasts, and metrics inside a broadcast
+    // exchange never reach the Observation. Each oversized bucket's rows
+    // count 1 each (Σ = dropped_rows) and 1/bsize each (Σ = exact
+    // dropped-bucket count, rounded against fp drift).
+    val observed = dropObs.map(o => marked.observe(o,
+        sum(when(col("__bsize") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_rows"),
+        round(sum(when(col("__bsize") > maxBucketSize,
+            lit(1.0) / col("__bsize")).otherwise(lit(0.0))))
+          .cast("long").as("dropped_buckets")))
+      .getOrElse(marked)
+    val capped = observed.filter(col("__bsize") <= maxBucketSize)
     val a = capped.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = capped.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        nanvl(cosine(col("va"), col("vb")), lit(-1.0)).as("cosine"))
       .filter(col("cosine") >= minCosine)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))

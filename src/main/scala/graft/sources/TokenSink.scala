@@ -150,6 +150,84 @@ object TokenSink {
     out
   }
 
+  /** Re-pack an existing token-shard directory so every output shard is
+    * at least `minSizeBytes` (except possibly the last) — the Spark
+    * re-expression of `dolma.tokenizer.reshard`
+    * (/root/reference/python/dolma/tokenizer/reshard.py:123-160
+    * group_paths_by_max_size, :86-120 merge_group): shards are grouped
+    * greedily in name order (deterministic), each group is concatenated
+    * by ONE task into `merged-NNNNN.bin` under `destDir` (byte-stream
+    * copy — token width never re-decoded), and the metadata table comes
+    * back with every document's (shard, start, end) shifted by its
+    * member's position in the group. Offsets stay token-valued, as
+    * [[writeShards]] wrote them.
+    *
+    * Scale shape: the driver touches only the O(#shards) name/size list
+    * (same grain as the ledger); all byte movement is task-side streaming
+    * with one task per output shard, and the metadata rewrite is a
+    * broadcast join against the O(#shards) shift table — no shuffle of
+    * the per-document rows. */
+  def reshard(spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      metadata: DataFrame, destDir: String, minSizeBytes: Long,
+      bytesPerToken: Int = 2): DataFrame = {
+    import spark.implicits._
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // shard inventory from the metadata table (the committed source of
+    // truth — stray files in the dir are not part of the dataset)
+    val shardNames = metadata.select(col("shard")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val sized = shardNames.map { s =>
+      s -> fs.getFileStatus(new org.apache.hadoop.fs.Path(srcDir, s)).getLen
+    }
+    // greedy: accumulate until the group reaches the floor, then close it
+    val groups = scala.collection.mutable.ArrayBuffer[Vector[(String, Long)]]()
+    var current = Vector.empty[(String, Long)]
+    var bytes = 0L
+    sized.foreach { case (s, len) =>
+      current :+= ((s, len)); bytes += len
+      if (bytes >= minSizeBytes) { groups += current; current = Vector.empty; bytes = 0L }
+    }
+    if (current.nonEmpty) groups += current // tail group may stay under the floor
+    val bpt = bytesPerToken
+    // (newShard, oldShard, tokenShift) plan; byte lengths are exact
+    // multiples of bytesPerToken by construction of writeShards
+    val plan = groups.zipWithIndex.flatMap { case (members, gi) =>
+      val newName = f"merged-$gi%05d.bin"
+      members.scanLeft(("", "", 0L)) { case ((_, _, acc), (old, len)) =>
+        (newName, old, acc + len / bpt)
+      }.drop(1).zip(members).map { case ((nn, old, cumEnd), (_, len)) =>
+        (nn, old, cumEnd - len / bpt)
+      }
+    }.toVector
+    val src = srcDir // don't close over the FileSystem (not serializable)
+    spark.createDataset(groups.zipWithIndex.map { case (m, gi) =>
+        (f"merged-$gi%05d.bin", m.map(_._1): Seq[String]) }.toVector)
+      .repartition(groups.size)
+      .foreach { case (newName, members) =>
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val outPath = new org.apache.hadoop.fs.Path(destDir, newName)
+        val tfs = outPath.getFileSystem(conf)
+        val out = new java.io.BufferedOutputStream(tfs.create(outPath, true), 1 << 16)
+        try members.foreach { old =>
+          val in = tfs.open(new org.apache.hadoop.fs.Path(src, old))
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        } finally out.close()
+      }
+    val shifts = spark.createDataset(plan)
+      .toDF("__new_shard", "shard", "__shift")
+    metadata.join(broadcast(shifts), Seq("shard"))
+      .select(col("id"), col("__new_shard").as("shard"),
+        (col("start") + col("__shift")).as("start"),
+        (col("end") + col("__shift")).as("end"))
+  }
+
   /** Read one shard back as token ids (test/audit path). */
   def readShard(spark: org.apache.spark.sql.SparkSession, dir: String,
       shard: String, bytesPerToken: Int = 2): Array[Int] = {

@@ -151,4 +151,40 @@ class MainSpec extends AnyFunSuite {
     assert(out("b").contains("unique beta"))
     assert(out("c") == "all fresh\nnothing shared")
   }
+
+  test("input format=table: reads a cataloged/temp-view table; ledger rejected") {
+    val dir = Files.createTempDirectory("graft-main-table").toString
+    spark.sql("DROP TABLE IF EXISTS graft_out_tbl")
+    // a previously-failed run can leave an orphan managed-table location
+    val orphan = new java.io.File("spark-warehouse/graft_out_tbl")
+    if (orphan.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(orphan)
+    }
+    Seq(("a", "table-backed alpha row"), ("b", "table-backed beta row"))
+      .toDF("id", "content").createOrReplaceTempView("graft_in_tbl")
+    val config =
+      s"""{
+         |  "input": {"format": "table", "path": "graft_in_tbl"},
+         |  "taggers": ["char_length_v1"],
+         |  "experiment": "e",
+         |  "output": {"path": "graft_out_tbl", "format": "table"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    val out = spark.read.table("graft_out_tbl")
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // snapshot-vs-ledger: file-grain resume must refuse table input
+    val withLedger =
+      s"""{
+         |  "input": {"format": "table", "path": "graft_in_tbl"},
+         |  "output": {"path": "$dir/out2", "format": "parquet"},
+         |  "ledger": "$dir/ledger"
+         |}""".stripMargin
+    val err = intercept[IllegalArgumentException] {
+      Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(withLedger))
+    }
+    assert(err.getMessage.contains("snapshot"))
+  }
 }

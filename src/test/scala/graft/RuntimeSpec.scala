@@ -112,6 +112,39 @@ class RuntimeSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: WavDecoder really decodes PCM WAVs (rate/channels/frames + RMS)") {
+    import graft.multimodal.Multimodal
+    val dec = new Multimodal.WavDecoder()
+    // constant amplitude 16384 = half scale -> every segment RMS = 0.5
+    val wav = Multimodal.syntheticWav(8000, Array.fill(3200)(16384.toShort))
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (rate, channels, frames, emb) = dec.decode("audio", "wav", wav)
+    assert((rate, channels, frames) == (8000, 1, 3200))
+    assert(emb.length == 16)
+    emb.foreach(v => assert(math.abs(v - 0.5f) < 1e-4f, v.toString))
+    // silence then full-scale: first 8 segments ~0, last 8 ~1
+    val half = Array.fill(1600)(0.toShort) ++ Array.fill(1600)(32767.toShort)
+    val (_, _, _, emb2) = dec.decode("audio", "wav", Multimodal.syntheticWav(8000, half))
+    (0 until 8).foreach(i => assert(emb2(i) < 0.01f))
+    (8 until 16).foreach(i => assert(emb2(i) > 0.99f))
+    // unparseable audio and non-audio media fall back to the seam
+    val junk2 = Array.tabulate[Byte](32)(b => (b * 3).toByte)
+    Seq("audio" -> "wav", "video" -> "mp4").foreach { case (mt, fmt) =>
+      val (aw, ah, af, ae) = dec.decode(mt, fmt, junk2)
+      val (bw, bh, bf, be) = Multimodal.FakeDecoder.decode(mt, fmt, junk2)
+      assert((aw, ah, af) == (bw, bh, bf) && ae.toSeq == be.toSeq)
+    }
+    // the full real chain: image + audio rows both really decoded
+    val feats = Multimodal.extractFeatures(
+      Multimodal.syntheticMedia(spark, 12L), Multimodal.realDecoder())
+    val audio = feats.filter(col("media_type") === "audio").collect()
+    assert(audio.nonEmpty)
+    audio.foreach { r =>
+      assert(r.getAs[Int]("width") == 8000 && r.getAs[Int]("height") == 1)
+      assert(r.getAs[Int]("n_frames") >= 1600)
+    }
+  }
+
   test("streaming: stateful sessionization with flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val gap = 1800000000L

@@ -333,4 +333,134 @@ class SparkOpsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 50L), (0L, 51L), (50L, 51L), (1L, 52L)))
   }
+
+  test("duplicateClusters: 100-link chain converges in <= 8 rounds (pointer doubling)") {
+    // diameter 100; min-label-only propagation would need 100 rounds and
+    // previously FAILED the job at maxIters=20. log2(100) < 7, +1 slack.
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain, col("id_a"), col("id_b"), maxIters = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 100L).map(_ -> 0L).toMap)
+  }
+
+  test("prefix filter lossless at float-hostile thresholds (ceil overshoot guard)") {
+    // tau=0.28, n=25: 25*0.28 = 7.000000000000001 in doubles, so an
+    // unguarded ceil() gives 8 where ⌈τn⌉ = 7, shortening A's prefix to
+    // 18 of 25. The adversarial pair: B ⊆ A with |B| = 7 = A's 7
+    // LARGEST-hash shingles (J = 7/25 = 0.28, exactly at threshold) —
+    // every common shingle then sits beyond the buggy prefix and the
+    // pair vanishes; the guarded ceil keeps prefix 19 and finds it.
+    val tau = 0.28
+    val pool = (0 until 40).map(i => s"w$i")
+    val byHash = pool.map(w => w -> spark.range(1)
+        .select(xxhash64(lit(w))).head().getLong(0))
+      .sortBy(_._2).map(_._1)
+    val aOnly = byHash.take(18) // 18 smallest hashes
+    val shared = byHash.takeRight(7) // 7 largest hashes
+    val df = Seq(("a", (aOnly ++ shared).mkString(" ")),
+      ("b", shared.mkString(" "))).toDF("id", "text")
+    val exact = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+      k = 1, minJaccard = tau).as[(String, String, Double)].collect().toSet
+    assert(exact.map(p => (p._1, p._2)) == Set(("a", "b")),
+      "the planted pair must sit exactly at the threshold")
+    val prefixed = MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+      k = 1, minJaccard = tau, prefixFilter = true)
+      .as[(String, String, Double)].collect().toSet
+    assert(prefixed == exact, "guarded ceil must keep the lossless prefix bound")
+  }
+
+  test("skew caps are observable: dropped rows/buckets surface through dropObs") {
+    // cosine path: 20 identical vectors overflow maxBucketSize=10 and
+    // vanish; 3 copies of another vector survive and pair — the
+    // Observation must report exactly the capped bucket
+    val base = Array.fill(8)(0.5f)
+    val other = Array.fill(8)(-0.5f)
+    val vecs = (0L until 20L).map(i => (i, base)) ++
+      Seq((20L, other), (21L, other), (22L, other))
+    val obs = new org.apache.spark.sql.Observation("cosine-drops")
+    val out = graft.similarity.Ann.cosineNearDupPairs(vecs.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), dim = 8, minCosine = 0.9,
+      bits = 6, maxBucketSize = 10, dropObs = Some(obs)).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((20L, 21L), (20L, 22L), (21L, 22L)))
+    assert(obs.get("dropped_rows") == 20L && obs.get("dropped_buckets") == 1L)
+
+    // minhash path: 15 identical docs overflow maxBucketSize=10 in every
+    // band (bands=4 -> 4 dropped buckets of 15 rows each); a planted
+    // near-dup pair elsewhere keeps the output non-empty
+    val docs = (0 until 15).map(i => (i.toString, "all the same words here again")) ++
+      Seq(("x1", "completely different content entirely unrelated"),
+        ("x2", "completely different content entirely unrelated"))
+    val obs2 = new org.apache.spark.sql.Observation("minhash-drops")
+    val out2 = MinHashLSH.nearDuplicatePairs(docs.toDF("id", "text"),
+      col("id"), col("text"), k = 2, numPerms = 16, bands = 4,
+      minJaccard = 0.5, maxBucketSize = 10, dropObs = Some(obs2)).collect()
+    assert(out2.map(_.getString(0)).toSet == Set("x1"))
+    assert(obs2.get("dropped_rows") == 60L && obs2.get("dropped_buckets") == 4L)
+
+    // shingle-df cap path: the "shared tail" bigram rides every doc
+    // (df=12 > cap=5, 12 lost postings) while a planted duplicate pair
+    // survives on its rare shingles (J = 3/5 after the drop)
+    val boiler = (0 until 10).map(i => (f"d$i%02d", s"u$i v$i shared tail")) ++
+      Seq(("pa", "dup one two shared tail"), ("pb", "dup one two shared tail"))
+    val obs3 = new org.apache.spark.sql.Observation("df-drops")
+    val out3 = MinHashLSH.exactJaccardPairs(boiler.toDF("id", "text"),
+      col("id"), col("text"), k = 2, minJaccard = 0.5,
+      maxShingleDf = Some(5L), dropObs = Some(obs3)).collect()
+    assert(out3.map(r => (r.getString(0), r.getString(1))).toSet == Set(("pa", "pb")))
+    assert(obs3.get("dropped_postings") == 12L && obs3.get("dropped_shingles") == 1L)
+
+    // the all-dropped edge: AQE's runtime empty-relation propagation can
+    // eliminate the metrics node together with the emptied plan (the
+    // documented caveat) — with AQE off the metric survives even when
+    // EVERY row is capped away
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs2 = (0L until 20L).map(i => (i, base)) :+ (20L, other)
+      val obs4 = new org.apache.spark.sql.Observation("cosine-drops-empty")
+      val out4 = graft.similarity.Ann.cosineNearDupPairs(
+        vecs2.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+        dim = 8, minCosine = 0.9, bits = 6, maxBucketSize = 10,
+        dropObs = Some(obs4)).collect()
+      assert(out4.isEmpty)
+      assert(obs4.get("dropped_rows") == 20L && obs4.get("dropped_buckets") == 1L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("cosineNearDupPairs: zero-norm vectors never pair (NaN guard)") {
+    // two all-zero embeddings share the all-ones hyperplane bucket and
+    // cosine to NaN = 0/0; Spark sorts NaN above every double, so an
+    // unguarded >= threshold would emit them as a false duplicate pair
+    val rng = new scala.util.Random(3)
+    val rows = Seq((0L, Array.fill(8)(0f)), (1L, Array.fill(8)(0f))) ++
+      (2L until 10L).map(i => (i, Array.fill(8)(rng.nextGaussian().toFloat)))
+    val pairs = graft.similarity.Ann.cosineNearDupPairs(rows.toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), dim = 8, minCosine = 0.9, bits = 6)
+      .as[(Long, Long, Double)].collect()
+    assert(!pairs.exists(p => p._1 == 0L && p._2 == 1L))
+    assert(pairs.forall(p => !p._3.isNaN))
+  }
+
+  test("salted text-fetch joins: same pairs as unsalted, hot key spread across salts") {
+    // hot template: doc 0 near-identical to 30 others -> id_a=0 carries
+    // most candidate pairs; salting must not change the answer
+    val hot = (1 to 30).map(i => (i.toString,
+      s"the shared spam template body repeated across mirrors variant v${i % 3}"))
+    val rows = Seq(("0", "the shared spam template body repeated across mirrors variant v0")) ++
+      hot ++ (31 to 45).map(i => (i.toString, s"unique document number $i with its own words w$i x$i"))
+    val df = rows.toDF("id", "text")
+    val plain = MinHashLSH.verifiedNearDuplicatePairs(df, col("id"), col("text"),
+      k = 3, numPerms = 32, bands = 16, minJaccard = 0.5)
+      .as[(String, String, Double)].collect().toSet
+    val salted = MinHashLSH.verifiedNearDuplicatePairs(df, col("id"), col("text"),
+      k = 3, numPerms = 32, bands = 16, minJaccard = 0.5, textJoinSalt = 4)
+      .as[(String, String, Double)].collect().toSet
+    assert(salted == plain)
+    assert(plain.size > 100, s"hot template must generate a dense pair set, got ${plain.size}")
+    // the salt column really distributes a hot key: pairs of id_a=0 land
+    // in >1 salt partition (xxhash64(id_b) % 4 takes multiple values)
+    val saltVals = spark.createDataset(plain.toSeq.filter(_._1 == "0").map(_._2))
+      .select(pmod(xxhash64(col("value")), lit(4)).cast("int")).distinct().count()
+    assert(saltVals > 1)
+  }
 }

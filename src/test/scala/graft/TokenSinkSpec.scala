@@ -92,4 +92,51 @@ class TokenSinkSpec extends AnyFunSuite {
       assert(decoded == byId(id))
     }
   }
+
+  test("reshard merges undersized shards, rewrites offsets, and decode survives") {
+    val src = Files.createTempDirectory("graft-reshard-s").toString
+    val dst = Files.createTempDirectory("graft-reshard-d").toString
+    val bpe = graft.ml.Bpe.train(
+      (0 until 40).map(i => s"def fn$i(a, b): return a + b * $i"),
+      numMerges = 96)
+    val texts = (0 until 80).map(i => (s"d$i", s"def fn$i(a, b): return a + b * $i"))
+    val docs = texts.toDF("id", "text")
+      .withColumn("toks", TokenSink.bpeTokenIds(col("text"), bpe))
+    val meta = TokenSink.writeShards(docs, col("id"), col("toks"), src,
+      numShards = 12).localCheckpoint()
+    assert(meta.select(col("shard")).distinct().count() >= 10)
+    // floor chosen so several source shards merge per output shard
+    val floor = 600L
+    val newMeta = TokenSink.reshard(spark, src, meta, dst, minSizeBytes = floor)
+    val rows = newMeta.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 80)
+    val mergedShards = rows.map(_._2).distinct.sorted
+    assert(mergedShards.length < 12, "resharding must reduce the shard count")
+    // every merged shard reaches the floor except possibly the last
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val sizes = mergedShards.map(n => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dst, n)).getLen)
+    sizes.dropRight(1).foreach(sz => assert(sz >= floor, s"$sz < $floor"))
+    // offsets within each merged shard are dense, start at 0, and every
+    // doc decodes to its exact original text from the merged bytes
+    val byId = texts.toMap
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3)
+        case _ =>
+      }
+      val ids = TokenSink.readShard(spark, dst, shard)
+      assert(ids.length == sorted.last._4)
+      sorted.foreach { case (id, _, s, e) =>
+        val slice = ids.slice(s.toInt, e.toInt)
+        assert(slice.last == TokenSink.EosId)
+        assert(bpe.decode(slice.dropRight(1)
+          .map(_ - TokenSink.FirstVocabId).toSeq) == byId(id))
+      }
+    }
+  }
 }
