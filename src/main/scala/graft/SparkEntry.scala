@@ -748,12 +748,12 @@ object SparkEntry {
         .agg(max(col("total")).as("n_occurrences"), sum(col("dups")).as("n_dups"))
     }),
 
-    // image rows are REAL PNGs decoded by the JDK ImageIO decoder and
-    // audio rows are REAL WAVs decoded by the JDK javax.sound codec —
-    // width/height/n_frames come from the actual decodes (the oracle's
-    // formulas hold only if both real decodes are correct; for audio the
-    // schema maps width=sample rate, height=channels, n_frames=PCM
-    // frames); video stays on the FakeDecoder seam
+    // every media type on a REAL JDK codec now: PNGs through ImageIO,
+    // WAVs through javax.sound, GRFV frame-container video through
+    // per-frame ImageIO — width/height/n_frames come from the actual
+    // decodes (the oracle's formulas hold only if the decodes are
+    // correct; for audio the schema maps width=sample rate,
+    // height=channels, n_frames=PCM frames)
     "multimodal_features" -> ((s, _) =>
       graft.multimodal.Multimodal.resizePlan(
         graft.multimodal.Multimodal.extractFeatures(
@@ -762,15 +762,23 @@ object SparkEntry {
         .select(col("id"), col("media_type"), col("width"), col("height"),
           col("n_frames"), col("out_width"), col("out_height"))),
 
-    // frame sampling over the synthetic video containers: per-video
-    // sampled-frame counts and byte sizes are pure arithmetic on the row
-    // id (every 4th of 1+(i*29)%64 frames, body 119 bytes split evenly)
-    "multimodal_frame_sample" -> ((s, _) =>
+    // frame sampling with REAL pixel verification: every 4th frame of
+    // each GRFV container is an actual PNG; the query decodes each
+    // sampled frame with ImageIO and sums the (0,0) gray value, which
+    // the oracle replays as (i*7 + f*11) % 256 arithmetic — a decode
+    // bug, an off-by-one in sampling, or a frame-splice error all
+    // corrupt the sum
+    "multimodal_frame_sample" -> ((s, _) => {
+      val gray = udf((b: Array[Byte]) => {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        (img.getRGB(0, 0) & 0xff).toLong
+      })
       graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.syntheticMedia(s, 200L), everyN = 4)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_sampled"),
-          sum(length(col("frame_bytes"))).as("sum_bytes"))),
+          sum(gray(col("frame_bytes"))).as("sum_gray"))
+    }),
 
     "mixer_predicate_compiler" -> ((s, dir) => {
       val d = docs(s, dir).withColumn("id", col("doc_id").cast("string"))
@@ -1733,14 +1741,19 @@ object SparkEntry {
           | cast(CASE WHEN doc_id % 2 = 0 THEN 0.33 ELSE 0.5 END AS DOUBLE) AS prose_pct
           |FROM k""".stripMargin,
 
-      // image: real PNG raster dims (= the generator's arithmetic);
-      // audio: real WAV decode (rate 8000 Hz, mono, 1600+(i*37)%2048
-      // frames); video: GRFT header arithmetic
+      // image: real PNG raster dims; audio: real WAV decode (rate
+      // 8000 Hz, mono, 1600+(i*37)%2048 frames); video: real per-frame
+      // PNG decode of the GRFV container (first raster 32+(i*37)%64 ×
+      // 24+(i*53)%48, 1+(i*29)%64 frames)
       "multimodal_features" ->
         """WITH f AS (SELECT 'm' || i AS id,
           |  CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-          |  cast(CASE WHEN i % 3 = 1 THEN 8000 ELSE 64 + (i * 37) % 512 END AS INT) AS width,
-          |  cast(CASE WHEN i % 3 = 1 THEN 1 ELSE 64 + (i * 53) % 512 END AS INT) AS height,
+          |  cast(CASE WHEN i % 3 = 1 THEN 8000
+          |       WHEN i % 3 = 2 THEN 32 + (i * 37) % 64
+          |       ELSE 64 + (i * 37) % 512 END AS INT) AS width,
+          |  cast(CASE WHEN i % 3 = 1 THEN 1
+          |       WHEN i % 3 = 2 THEN 24 + (i * 53) % 48
+          |       ELSE 64 + (i * 53) % 512 END AS INT) AS height,
           |  cast(CASE WHEN i % 3 = 2 THEN 1 + (i * 29) % 64
           |       WHEN i % 3 = 1 THEN 1600 + (i * 37) % 2048 ELSE 1 END AS INT) AS n_frames
           | FROM range(200) t(i))
@@ -1751,15 +1764,17 @@ object SparkEntry {
           |   ELSE (height * 256) // greatest(width, height) END AS INT) AS out_height
           |FROM f""".stripMargin,
 
-      // every-4th-frame sampling: 1+(i*29)%64 frames, 119-byte body split
-      // into floor(119/frames)-byte slices
+      // every-4th-frame sampling with real pixel verification: frame f
+      // of video i is a PNG of constant gray (i*7 + f*11) % 256, so the
+      // sampled (0,0)-pixel sum is exact integer arithmetic
       "multimodal_frame_sample" ->
-        """WITH v AS (SELECT 'm' || i AS id, 1 + (i * 29) % 64 AS frames
-          |  FROM range(200) t(i) WHERE i % 3 = 2)
-          |SELECT id,
-          | cast((frames - 1) // 4 + 1 AS BIGINT) AS n_sampled,
-          | cast(((frames - 1) // 4 + 1) * greatest(119 // frames, 1) AS BIGINT) AS sum_bytes
-          |FROM v""".stripMargin
+        """WITH v AS (SELECT i, 1 + (i * 29) % 64 AS frames
+          |  FROM range(200) t(i) WHERE i % 3 = 2),
+          |s AS (SELECT i, unnest(range(0, frames, 4)) AS f FROM v)
+          |SELECT 'm' || i AS id,
+          | cast(count(*) AS BIGINT) AS n_sampled,
+          | cast(sum((i * 7 + f * 11) % 256) AS BIGINT) AS sum_gray
+          |FROM s GROUP BY 1""".stripMargin
     ).map { case (k, v) => k -> v.replace("\n", " ") }
   }
 }

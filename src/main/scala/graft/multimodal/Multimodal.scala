@@ -68,13 +68,44 @@ object Multimodal {
     }
   }
 
+  /** 4×4 grid of mean luminance (Rec.601 weights), row-major, normalized
+    * to [0,1] — the pixel-derived feature shared by the image and video
+    * decode paths. */
+  def lumaGrid4x4(img: java.awt.image.BufferedImage): Array[Float] = {
+    val w = img.getWidth; val h = img.getHeight
+    val emb = new Array[Float](16)
+    var gy = 0
+    while (gy < 4) {
+      var gx = 0
+      while (gx < 4) {
+        val x0 = gx * w / 4; val x1 = math.max((gx + 1) * w / 4, x0 + 1)
+        val y0 = gy * h / 4; val y1 = math.max((gy + 1) * h / 4, y0 + 1)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+            sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
+            n += 1
+            x += 1
+          }
+          y += 1
+        }
+        emb(gy * 4 + gx) = if (n == 0) 0f else (sum / n).toFloat
+        gx += 1
+      }
+      gy += 1
+    }
+    emb
+  }
+
   /** REAL image decoding via the JDK's own ImageIO (PNG/JPEG/GIF/BMP —
     * no external dependency): dimensions from the actual decoded raster
-    * and a pixel-derived embedding (4×4 grid of mean luminance, row-major,
-    * normalized to [0,1]) — a genuine decode→feature path. Non-image
-    * media and payloads ImageIO cannot parse delegate to `fallback`
-    * (the [[FakeDecoder]] seam), which remains the declared stub for
-    * audio/video codecs. */
+    * and a pixel-derived embedding ([[lumaGrid4x4]]) — a genuine
+    * decode→feature path. Non-image media and payloads ImageIO cannot
+    * parse delegate to `fallback`. */
   final class ImageIoDecoder(fallback: MediaDecoder = FakeDecoder)
       extends MediaDecoder {
     def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
@@ -83,34 +114,7 @@ object Multimodal {
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         catch { case _: java.io.IOException => null }
       if (img == null) return fallback.decode(mediaType, format, payload)
-      val w = img.getWidth; val h = img.getHeight
-      // 4x4 grid mean luminance (Rec.601 weights), row-major
-      val emb = new Array[Float](16)
-      var gy = 0
-      while (gy < 4) {
-        var gx = 0
-        while (gx < 4) {
-          val x0 = gx * w / 4; val x1 = math.max((gx + 1) * w / 4, x0 + 1)
-          val y0 = gy * h / 4; val y1 = math.max((gy + 1) * h / 4, y0 + 1)
-          var sum = 0.0; var n = 0
-          var y = y0
-          while (y < math.min(y1, h)) {
-            var x = x0
-            while (x < math.min(x1, w)) {
-              val rgb = img.getRGB(x, y)
-              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
-              sum += (0.299 * r + 0.587 * g + 0.114 * b) / 255.0
-              n += 1
-              x += 1
-            }
-            y += 1
-          }
-          emb(gy * 4 + gx) = if (n == 0) 0f else (sum / n).toFloat
-          gx += 1
-        }
-        gy += 1
-      }
-      (w, h, 1, emb)
+      (img.getWidth, img.getHeight, 1, lumaGrid4x4(img))
     }
   }
 
@@ -173,9 +177,86 @@ object Multimodal {
     }
   }
 
+  /** Frame-container video ("GRFV"): magic + u16 width + u16 height +
+    * u8 frame count, then per frame [u32 length][image bytes] — video as
+    * a sequence of independently-coded images (the Motion-JPEG idea),
+    * every frame decodable by the REAL JDK ImageIO codec. Inter-coded
+    * foreign formats (mp4/h264) have no pure-JDK codec and stay on the
+    * [[FakeDecoder]] seam. */
+  def buildVideoContainer(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && frames.size <= 255, "1..255 frames")
+    val dataLen = frames.map(_.length + 4).sum
+    val buf = java.nio.ByteBuffer.allocate(9 + dataLen)
+    buf.put('G'.toByte).put('R'.toByte).put('F'.toByte).put('V'.toByte)
+      .putShort(w.toShort).putShort(h.toShort).put(frames.size.toByte)
+    frames.foreach { f => buf.putInt(f.length); buf.put(f) }
+    buf.array()
+  }
+
+  /** Strict GRFV parse: Some((w, h, frames)) only when the magic matches
+    * and every frame length lands exactly inside the payload. */
+  def parseVideoContainer(payload: Array[Byte]): Option[(Int, Int, Seq[Array[Byte]])] = {
+    if (payload.length < 9 || payload(0) != 'G' || payload(1) != 'R' ||
+        payload(2) != 'F' || payload(3) != 'V') return None
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    buf.position(4)
+    val w = buf.getShort & 0xffff; val h = buf.getShort & 0xffff
+    val n = buf.get() & 0xff
+    val frames = Vector.newBuilder[Array[Byte]]
+    var i = 0
+    while (i < n) {
+      if (buf.remaining() < 4) return None
+      val len = buf.getInt
+      if (len < 0 || buf.remaining() < len) return None
+      val f = new Array[Byte](len)
+      buf.get(f)
+      frames += f
+      i += 1
+    }
+    Some((w, h, frames.result()))
+  }
+
+  /** REAL video decoding for [[buildVideoContainer]] payloads: every
+    * frame runs through the actual JDK ImageIO codec; dimensions come
+    * from the first decoded raster (not the header), `n_frames` is the
+    * container's frame count, and the embedding is the per-frame
+    * [[lumaGrid4x4]] averaged across frames — a genuine multi-frame
+    * decode→feature path. Non-video media, foreign codecs, and corrupt
+    * containers delegate to `fallback`. */
+  final class VideoFramesDecoder(fallback: MediaDecoder = FakeDecoder)
+      extends MediaDecoder {
+    def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      if (mediaType != "video") return fallback.decode(mediaType, format, payload)
+      parseVideoContainer(payload) match {
+        case None => fallback.decode(mediaType, format, payload)
+        case Some((_, _, frames)) =>
+          val acc = new Array[Float](16)
+          var w = 0; var h = 0; var decoded = 0
+          frames.foreach { f =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+              catch { case _: java.io.IOException => null }
+            if (img != null) {
+              if (decoded == 0) { w = img.getWidth; h = img.getHeight }
+              val g = lumaGrid4x4(img)
+              var i = 0
+              while (i < 16) { acc(i) += g(i); i += 1 }
+              decoded += 1
+            }
+          }
+          if (decoded == 0) return fallback.decode(mediaType, format, payload)
+          var i = 0
+          while (i < 16) { acc(i) /= decoded; i += 1 }
+          (w, h, frames.size, acc)
+      }
+    }
+  }
+
   /** The full real-codec chain this build ships: JDK ImageIO for images,
-    * JDK javax.sound for audio, [[FakeDecoder]] for video only. */
-  def realDecoder(): MediaDecoder = new ImageIoDecoder(new WavDecoder(FakeDecoder))
+    * JDK javax.sound for audio, per-frame ImageIO for frame-container
+    * video; [[FakeDecoder]] remains only for foreign codec formats. */
+  def realDecoder(): MediaDecoder =
+    new ImageIoDecoder(new WavDecoder(new VideoFramesDecoder(FakeDecoder)))
 
   /** Feature extraction over a media table: one decoder instance per
     * partition, rows processed in order (a real decoder would batch). */
@@ -197,10 +278,12 @@ object Multimodal {
     StructField("frame_bytes", BinaryType)))
 
   /** Frame sampling over video payloads: per-partition decoder init, every
-    * `everyN`th frame emitted with its byte range sliced from the
-    * container body — the plumbing a real video pipeline needs (schema,
-    * batch shape, partition-level codec reuse); the codec itself stays
-    * behind [[MediaDecoder]]. */
+    * `everyN`th frame emitted. GRFV frame containers yield the ACTUAL
+    * per-frame image bytes (each one decodable by ImageIO — the
+    * multimodal_frame_sample oracle verifies real pixel values of the
+    * sampled frames); foreign-codec payloads fall back to byte-range
+    * slicing against the decoder's frame count (plumbing-only, the
+    * declared stub path). */
   def sampleFrames(media: DataFrame, everyN: Int,
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
@@ -208,18 +291,25 @@ object Multimodal {
       val d = decoder
       rows.filter(_.getString(1) == "video").flatMap { r =>
         val payload = if (r.isNullAt(3)) Array.emptyByteArray else r.getAs[Array[Byte]](3)
-        val (_, _, frames, _) = d.decode(r.getString(1), r.getString(2), payload)
-        // Only strip the 9-byte container header when it is actually present
-        // (same GRFT magic check the decoder uses); headerless payloads keep
-        // their byte ranges aligned with the decoder's frame count.
-        val hasHeader = payload.length >= 9 && payload(0) == 'G' &&
-          payload(1) == 'R' && payload(2) == 'F' && payload(3) == 'T'
-        val body = if (hasHeader) payload.drop(9) else payload
-        val per = math.max(1, body.length / math.max(frames, 1))
-        (0 until frames by everyN).iterator.map { f =>
-          val from = math.min(f * per, body.length)
-          val until = math.min((f + 1) * per, body.length)
-          Row(r.getString(0), f, java.util.Arrays.copyOfRange(body, from, until))
+        parseVideoContainer(payload) match {
+          case Some((_, _, frames)) =>
+            (0 until frames.size by everyN).iterator.map { f =>
+              Row(r.getString(0), f, frames(f))
+            }
+          case None =>
+            val (_, _, frames, _) = d.decode(r.getString(1), r.getString(2), payload)
+            // Only strip the 9-byte container header when it is actually
+            // present (same GRFT magic check the decoder uses); headerless
+            // payloads keep byte ranges aligned with the frame count.
+            val hasHeader = payload.length >= 9 && payload(0) == 'G' &&
+              payload(1) == 'R' && payload(2) == 'F' && payload(3) == 'T'
+            val body = if (hasHeader) payload.drop(9) else payload
+            val per = math.max(1, body.length / math.max(frames, 1))
+            (0 until frames by everyN).iterator.map { f =>
+              val from = math.min(f * per, body.length)
+              val until = math.min((f + 1) * per, body.length)
+              Row(r.getString(0), f, java.util.Arrays.copyOfRange(body, from, until))
+            }
         }
       }
     }(enc)
@@ -248,9 +338,11 @@ object Multimodal {
     * mono PCM WAVs at 8 kHz with 1600+(i*37)%2048 sample frames of
     * deterministic hash noise — so [[WavDecoder]] exercises a genuine
     * JDK decode whose rate/channels/frame count are analytically known.
-    * Video payloads remain "GRFT" containers — 9-byte header (magic, u16
-    * width, u16 height, u8 frames = 1+(i*29)%64) plus hash-noise body —
-    * for the [[FakeDecoder]] seam. */
+    * Video rows are REAL GRFV frame containers — 1+(i*29)%64 frames,
+    * each an actual PNG of 32+(i*37)%64 × 24+(i*53)%48 filled with the
+    * constant gray (i*7 + f*11)%256 for frame f — so [[VideoFramesDecoder]]
+    * and the frame-sample oracle exercise genuine per-frame ImageIO
+    * decodes with analytically-known pixel values. */
   def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -269,16 +361,11 @@ object Multimodal {
         syntheticWav(8000, Array.tabulate(nSamples)(j =>
           (graft.functions.Hashing.mix64(i * 131 + j) & 0xffff).toShort))
       } else {
-        val w = 64 + ((i * 37) % 512).toInt
-        val h = 64 + ((i * 53) % 512).toInt
+        val w = 32 + ((i * 37) % 64).toInt
+        val h = 24 + ((i * 53) % 48).toInt
         val frames = 1 + ((i * 29) % 64).toInt
-        val header = Array[Byte]('G', 'R', 'F', 'T',
-          ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
-          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
-          (frames & 0xff).toByte)
-        val body = Array.tabulate(119)(j =>
-          (graft.functions.Hashing.mix64(i * 131 + j) & 0xff).toByte)
-        header ++ body
+        buildVideoContainer(w, h, (0 until frames).map(f =>
+          syntheticPng(w, h, ((i * 7 + f * 11) % 256).toInt)))
       }
       (s"m$i", mediaType, fmt, payload)
     }.toDF("id", "media_type", "format", "payload")

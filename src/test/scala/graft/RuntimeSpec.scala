@@ -145,6 +145,39 @@ class RuntimeSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: VideoFramesDecoder really decodes GRFV frame containers") {
+    import graft.multimodal.Multimodal
+    val dec = new Multimodal.VideoFramesDecoder()
+    // 3 frames of 20x10 constant gray 100/150/200: dims from the decoded
+    // raster, embedding = mean luma (100+150+200)/3/255 in every cell
+    val container = Multimodal.buildVideoContainer(20, 10,
+      Seq(100, 150, 200).map(g => Multimodal.syntheticPng(20, 10, g)))
+    val (w, h, frames, emb) = dec.decode("video", "mjpeg", container)
+    assert((w, h, frames) == (20, 10, 3))
+    emb.foreach(v => assert(math.abs(v - 150f / 255f) < 1e-4f, v.toString))
+    // round trip through the parser
+    val Some((hw, hh, fs)) = Multimodal.parseVideoContainer(container)
+    assert((hw, hh, fs.size) == (20, 10, 3))
+    // sampled frames are the REAL PNG bytes, pixel-exact
+    val media = Multimodal.syntheticMedia(spark, 9L)
+    val sampled = Multimodal.sampleFrames(media, everyN = 4).collect()
+    assert(sampled.nonEmpty)
+    sampled.foreach { r =>
+      val id = r.getString(0).drop(1).toLong
+      val f = r.getInt(1)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert((img.getRGB(0, 0) & 0xff) == ((id * 7 + f * 11) % 256).toInt)
+    }
+    // foreign codecs and truncated containers fall back to the seam
+    val junk = Array.tabulate[Byte](40)(b => (b * 5).toByte)
+    val (aw, ah, af, ae) = dec.decode("video", "mp4", junk)
+    val (bw, bh, bf, be) = Multimodal.FakeDecoder.decode("video", "mp4", junk)
+    assert((aw, ah, af) == (bw, bh, bf) && ae.toSeq == be.toSeq)
+    val truncated = container.dropRight(5)
+    assert(Multimodal.parseVideoContainer(truncated).isEmpty)
+  }
+
   test("streaming: stateful sessionization with flatMapGroupsWithState") {
     val dir = Files.createTempDirectory("graft-sess").toString
     val gap = 1800000000L
