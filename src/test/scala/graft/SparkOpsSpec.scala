@@ -441,6 +441,30 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(pairs.forall(p => !p._3.isNaN))
   }
 
+  test("bucket-cap plan shape: groupBy-count + join, no Window sort; metrics node present") {
+    // the r4 cap used count().over(Window.partitionBy(bucket)) — a full
+    // sort-based window over every bucket row; the r5 shape must keep
+    // the plan Window-free and carry the CollectMetrics node only when
+    // a dropObs is attached
+    val docs = (0 until 8).map(i => (i.toString, s"text body number $i with words")).toDF("id", "text")
+    val plain = MinHashLSH.nearDuplicatePairs(docs, col("id"), col("text"),
+      k = 2, numPerms = 16, bands = 4)
+    val plainPlan = plain.queryExecution.optimizedPlan.toString
+    assert(!plainPlan.contains("Window"), "cap must not use a sort-based window")
+    assert(!plainPlan.contains("CollectMetrics"), "no metrics node without dropObs")
+    val obs = new org.apache.spark.sql.Observation("plan-shape-drops")
+    val observed = MinHashLSH.nearDuplicatePairs(docs, col("id"), col("text"),
+      k = 2, numPerms = 16, bands = 4, dropObs = Some(obs))
+    val obsPlan = observed.queryExecution.optimizedPlan.toString
+    assert(!obsPlan.contains("Window") && obsPlan.contains("CollectMetrics"))
+    val vecs = (0L until 8L).map(i => (i, Array.fill(4)(i.toFloat + 1)))
+    val cosPlan = graft.similarity.Ann.cosineNearDupPairs(
+      vecs.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"),
+      dim = 4, minCosine = 0.9, bits = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(!cosPlan.contains("Window"))
+  }
+
   test("salted text-fetch joins: same pairs as unsalted, hot key spread across salts") {
     // hot template: doc 0 near-identical to 30 others -> id_a=0 carries
     // most candidate pairs; salting must not change the answer
