@@ -36,6 +36,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // ---- measurement-window self-certification -------------------------
+    // Round 4's bench artifact was captured in a degraded sandbox window
+    // (four unchanged queries read 3-5x their variance band) and the
+    // degradation was only diagnosable after the fact, from a separate
+    // variance study. Sample the same two throttle signals ScalingBench
+    // guards its legs with — the 32-thread pure-ALU rate (frequency caps)
+    // and /proc/stat tick elapse (hypervisor descheduling) — around the
+    // query loop, and publish them IN the result line, so every archived
+    // BENCH_r{N}.json carries its own window-health evidence.
+    def procTicks(): (Long, Long, Long) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        (f.sum, if (f.length > 7) f(7) else 0L, if (f.length > 2) f(2) else 0L)
+      } catch { case _: Throwable => (-1L, -1L, -1L) } // non-Linux: no evidence
+    val hostCpus = Runtime.getRuntime.availableProcessors()
+    val aluBefore = ScalingBench.aluRate(32, 200_000_000L)
+    val (tk0, st0, sy0) = procTicks()
+    val wall0 = System.nanoTime()
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -59,7 +80,17 @@ object Bench {
       "\"" + k + "\":\"" + jsonEscape(v) + "\""
     }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir"}"""
+
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    val (tk1, st1, sy1) = procTicks()
+    val aluAfter = ScalingBench.aluRate(32, 200_000_000L)
+    // CLK_TCK=100 on this box; tickFraction ~1.0 on a healthy guest (idle
+    // ticks count), <0.9 means the guest was descheduled during the loop.
+    val tickFraction =
+      if (tk0 < 0 || tk1 < 0) -1.0 else (tk1 - tk0).toDouble / (hostCpus * 100L * wallSec)
+    val guardJson = f"""{"alu32_before_gops":$aluBefore%.3f,"alu32_after_gops":$aluAfter%.3f,"tick_fraction":$tickFraction%.3f,"steal_ticks":${st1 - st0},"sys_ticks":${sy1 - sy0},"wall_sec":$wallSec%.1f,"healthy_alu32_floor_gops":0.24,"healthy_tick_floor":0.9}"""
+
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"reps":$reps,"sf":"$sfDir","guard":$guardJson}"""
     // Persist a copy the BASELINE.md tooling can read regardless of how the
     // launcher handles stdout.
     val out = java.nio.file.Paths.get("BENCH/last_run.json")

@@ -854,6 +854,7 @@ object SparkEntry {
             val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:doc:$id>\r\n" +
               s"WARC-Target-URI: http://docs.example.com/doc/$id\r\n" +
               s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+              s"WARC-Payload-Digest: sha1:DOC$id\r\n" +
               "Content-Type: application/http; msgtype=response\r\n" +
               s"Content-Length: ${payload.length}\r\n\r\n"
             bos.write(rec.getBytes("ISO-8859-1")); bos.write(payload)

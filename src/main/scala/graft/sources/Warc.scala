@@ -43,30 +43,48 @@ object Warc {
       date: String,
       contentType: String,
       httpCharset: String,
-      payload: Array[Byte])
+      payload: Array[Byte],
+      payloadDigest: String = "",
+      httpContentType: String = "",
+      httpDate: String = "",
+      offset: Long = -1L)
 
   val recordSchema: StructType = StructType(Seq(
     StructField("record_type", StringType),
     StructField("record_id", StringType),
+    StructField("payload_digest", StringType),
     StructField("warc_url", StringType),
     StructField("url", StringType),
     StructField("warc_date", StringType),
     StructField("content_type", StringType),
+    StructField("http_content_type", StringType),
+    StructField("http_date", StringType),
     StructField("html", StringType),
-    StructField("warc_file", StringType)))
+    StructField("warc_file", StringType),
+    StructField("warcinfo_date", StringType),
+    StructField("warcinfo_id", StringType),
+    StructField("offset", LongType)))
 
   /** Iterate WARC records from a (possibly multi-member-gzip) stream. */
   def iterateRecords(in0: InputStream, gzipped: Boolean): Iterator[WarcRecord] = {
     val in = new BufferedInputStream(
       if (gzipped) new java.util.zip.GZIPInputStream(in0, 1 << 16) else in0, 1 << 16)
 
+    // Position in the UNCOMPRESSED record stream (bytes consumed so far);
+    // each record's start offset is published as `offset` — the
+    // uncompressed-stream analogue of fastwarc's `stream_pos` that dolma
+    // stores as metadata `uncompressed_offset` (processor.py:170).
+    var pos = 0L
+
     def readLine(): String = {
       val buf = new StringBuilder
       var c = in.read()
       while (c >= 0 && c != '\n') {
+        pos += 1
         if (c != '\r') buf.append(c.toChar)
         c = in.read()
       }
+      if (c >= 0) pos += 1 // the '\n'
       if (c < 0 && buf.isEmpty) null else buf.toString
     }
 
@@ -77,7 +95,7 @@ object Warc {
       while (remaining > 0) {
         val r = in.read(chunk, 0, math.min(chunk.length.toLong, remaining).toInt)
         if (r < 0) remaining = 0
-        else { out.write(chunk, 0, r); remaining -= r }
+        else { out.write(chunk, 0, r); remaining -= r; pos += r }
       }
       out.toByteArray
     }
@@ -86,6 +104,7 @@ object Warc {
       private var nextRec: WarcRecord = null
       private def advance(): Unit = {
         nextRec = null
+        var recStart = pos
         var line = readLine()
         while (nextRec == null && line != null) {
           if (line.startsWith("WARC/")) {
@@ -102,20 +121,31 @@ object Warc {
             val len = headers.getOrElse("content-length", "0").toLong
             val body = readFully(len)
             val rtype = headers.getOrElse("warc-type", "")
-            val (charset, payload) =
-              if (rtype == "response" &&
-                  headers.getOrElse("content-type", "").startsWith("application/http"))
+            val warcCtype = headers.getOrElse("content-type", "")
+            val http =
+              if (rtype == "response" && warcCtype.startsWith("application/http"))
                 splitHttpPayload(body)
-              else ("", body)
+              else HttpPayload("", "", "", body)
+            // content_type parity (record_info.py:31-37): responses take
+            // the HTTP Content-Type up to ';', resources the WARC-level one.
+            val effCtype =
+              if (rtype == "response") http.contentType
+              else warcCtype.split(";", 2)(0).trim
             nextRec = WarcRecord(
               recordType = rtype,
               recordId = headers.getOrElse("warc-record-id", ""),
               targetUri = headers.getOrElse("warc-target-uri", ""),
               date = headers.getOrElse("warc-date", ""),
-              contentType = headers.getOrElse("content-type", ""),
-              httpCharset = charset,
-              payload = payload)
-          } else line = readLine()
+              contentType = warcCtype,
+              httpCharset = http.charset,
+              payload = http.body,
+              payloadDigest = headers.getOrElse("warc-payload-digest", ""),
+              httpContentType = effCtype,
+              httpDate =
+                if (rtype == "response") http.date
+                else headers.getOrElse("warc-date", ""),
+              offset = recStart)
+          } else { recStart = pos; line = readLine() }
         }
       }
       advance()
@@ -124,8 +154,14 @@ object Warc {
     }
   }
 
-  /** Split an HTTP response payload into (charset from headers, body). */
-  def splitHttpPayload(bytes: Array[Byte]): (String, Array[Byte]) = {
+  /** Parsed HTTP response head: declared charset, Content-Type up to ';'
+    * (record_info.py:31-33), the Date header verbatim (record_info.py:34
+    * feeds it to dateparser; [[Warc.dolmaTimestamp]] formats it), body. */
+  final case class HttpPayload(
+      charset: String, contentType: String, date: String, body: Array[Byte])
+
+  /** Split an HTTP response payload into its parsed head and body. */
+  def splitHttpPayload(bytes: Array[Byte]): HttpPayload = {
     // find \r\n\r\n (or \n\n) header terminator
     var i = 0
     var end = -1
@@ -136,13 +172,58 @@ object Warc {
           bytes(i + 1) == '\r' && bytes(i + 2) == '\n') end = i + 3
       i += 1
     }
-    if (end < 0) return ("", bytes)
+    if (end < 0) return HttpPayload("", "", "", bytes)
     val head = new String(bytes, 0, end, StandardCharsets.ISO_8859_1)
+    def header(name: String): String =
+      s"(?im)^$name:\\s*([^\\r\\n]*)".r.findFirstMatchIn(head)
+        .map(_.group(1).trim).getOrElse("")
     val charset = {
       val m = "(?i)charset=([A-Za-z0-9_\\-]+)".r.findFirstMatchIn(head)
       m.map(_.group(1)).getOrElse("")
     }
-    (charset, java.util.Arrays.copyOfRange(bytes, end, bytes.length))
+    val rawBody = java.util.Arrays.copyOfRange(bytes, end, bytes.length)
+    // fastwarc's record.reader hands dolma the TRANSFER-DECODED body; a
+    // chunked response kept raw would interleave hex chunk-size lines
+    // with the markup, so mirror the decode here.
+    val body =
+      if (header("Transfer-Encoding").toLowerCase.contains("chunked"))
+        dechunk(rawBody)
+      else rawBody
+    HttpPayload(charset, header("Content-Type").split(";", 2)(0).trim,
+      header("Date"), body)
+  }
+
+  /** Decode an HTTP/1.1 chunked transfer encoding (RFC 9112 §7.1): each
+    * chunk is `<hex size>[;ext]\r\n<data>\r\n`, terminated by a zero-size
+    * chunk. Malformed input falls back to the raw bytes unchanged. */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(b.length)
+    var i = 0
+    var ok = true
+    var done = false
+    while (!done && ok && i < b.length) {
+      var j = i
+      while (j < b.length && b(j) != '\n') j += 1
+      val line = new String(b, i, j - i, StandardCharsets.ISO_8859_1).trim
+      val size =
+        try java.lang.Long.parseLong(line.split(";")(0).trim, 16)
+        catch { case _: Exception => -1L }
+      if (size < 0 || j >= b.length) { ok = size == 0 || line.isEmpty; done = true }
+      else if (size == 0) done = true
+      else {
+        val start = j + 1
+        val end2 = start + size
+        if (end2 > b.length) { // truncated chunk: keep what's there
+          out.write(b, start, b.length - start); done = true
+        } else {
+          out.write(b, start, size.toInt)
+          i = end2.toInt
+          if (i < b.length && b(i) == '\r') i += 1
+          if (i < b.length && b(i) == '\n') i += 1
+        }
+      }
+    }
+    if (!ok || out.size() == 0) b else out.toByteArray
   }
 
   /** Charset decode: declared charset, then UTF-8, then Latin-1
@@ -186,12 +267,22 @@ object Warc {
       Option(org.apache.spark.TaskContext.get())
         .foreach(_.addTaskCompletionListener[Unit](_ =>
           try in.close() catch { case _: Exception => () }))
-      iterateRecords(in, gz)
-        .filter(r => r.recordType == "response" || r.recordType == "resource")
-        .map { r =>
-          Row(r.recordType, r.recordId, r.targetUri, normalizeUrl(r.targetUri),
-            r.date, r.contentType, decode(r.payload, r.httpCharset), file)
-        }
+      // The warcinfo record at the head of a (CC-style) WARC file names the
+      // capture: dolma stamps every document's metadata `warc_date` /
+      // `warc_filename` from the LAST-SEEN warcinfo's date / record id
+      // (processor.py:135-138,167-168), so carry them as loop state.
+      var infoDate = ""; var infoId = ""
+      iterateRecords(in, gz).flatMap { r =>
+        if (r.recordType == "warcinfo") {
+          infoDate = r.date; infoId = r.recordId; Nil
+        } else if (r.recordType == "response" || r.recordType == "resource") {
+          Row(r.recordType, r.recordId, r.payloadDigest, r.targetUri,
+            normalizeUrl(r.targetUri), r.date, r.contentType,
+            r.httpContentType, r.httpDate,
+            decode(r.payload, r.httpCharset), file, infoDate, infoId,
+            r.offset) :: Nil
+        } else Nil
+      }
     }
     spark.createDataFrame(rdd, recordSchema)
   }
@@ -210,48 +301,91 @@ object Warc {
       storeHtml: Boolean = false): DataFrame = {
     val withText = records
       .filter(length(col("html")) > 0)
+      // is_valid (record_info.py:42-49): records missing a payload digest
+      // or target URI are skipped before any tagging.
+      .filter(length(col("payload_digest")) > 0 && length(col("warc_url")) > 0)
       .withColumn("text", Linearizer.linearizeCol(col("html")))
     val pre = preTaggers
     val post = postTaggers
-    val tagged =
-      if (pre.isEmpty && post.isEmpty) withText.withColumn("n_pre", lit(0)).withColumn("n_post", lit(0))
-      else {
-        var d = withText
-        if (pre.nonEmpty) {
-          d = TagRunner.withAttributes(d, pre, pre.mkString("+"), textCol = "html",
-            outputCol = "__pre_attrs")
-            .withColumn("n_pre", size(map_keys(col("__pre_attrs"))))
-        } else d = d.withColumn("n_pre", lit(0))
-        if (post.nonEmpty) {
-          d = TagRunner.withAttributes(d, post, post.mkString("+"), textCol = "text",
-            outputCol = "__post_attrs")
-            .withColumn("n_post", size(map_keys(col("__post_attrs"))))
-        } else d = d.withColumn("n_post", lit(0))
-        d
+    // Tagger phases (processor.py:180-197): PRE-taggers run BEFORE
+    // linearization, on a doc whose text is still empty — taggers that
+    // need the raw markup (cc_re) read it from metadata["html"], so the
+    // html rides in the tagger metadata, not as the text. POST-taggers
+    // run on the linearized text. Attribute keys mangle each tagger's
+    // OWN name as the experiment ({t}__{t}__{attr}, processor.py:194-197),
+    // so taggers run one-at-a-time rather than as a fused battery.
+    val tagMeta = Seq("html", "warc_url", "url")
+    def phase(d0: DataFrame, taggers: Seq[String], textCol: String,
+              out: String): DataFrame = {
+      var d = d0
+      val cols = taggers.zipWithIndex.map { case (t, i) =>
+        val c = s"__${out}_$i"
+        d = TagRunner.withAttributes(d, Seq(t), t, textCol = textCol,
+          metaCols = tagMeta, outputCol = c)
+        c
       }
+      val merged =
+        if (cols.isEmpty) map().cast(MapType(StringType, TagRunner.spanTripleType))
+        else if (cols.size == 1) col(cols.head)
+        else map_concat(cols.map(col): _*)
+      d.withColumn(out, merged)
+        .withColumn(s"n_$out", size(map_keys(col(out))))
+        .drop(cols: _*)
+    }
+    val tagged = phase(
+      phase(withText.withColumn("__no_text", lit("")),
+        pre, "__no_text", "__pre_attrs"),
+      post, "text", "__post_attrs")
+      .withColumnRenamed("n___pre_attrs", "n_pre")
+      .withColumnRenamed("n___post_attrs", "n_post")
     val filtered = tagged
       .filter(if (skipNoPreTaggers) col("n_pre") > 0 else lit(true))
       .filter(if (skipNoPostTaggers) col("n_post") > 0 else lit(true))
+    // Metadata parity (processor.py:163-171): `warc_date`/`warc_filename`
+    // come from the capture's WARCINFO record (date / record id — yes, the
+    // reference stores the warcinfo RECORD ID under "warc_filename"),
+    // `content_type` is the HTTP Content-Type up to ';', and the record's
+    // own start offset rides along as `uncompressed_offset`.
     val metaCols = Seq(
-      col("warc_url"), col("url"), col("warc_date"), col("content_type")) ++
+      col("warc_url"), col("url"), dolmaTimestamp(col("warcinfo_date")),
+      col("warcinfo_id"), col("http_content_type"),
+      col("offset").cast("string")) ++
       (if (storeHtml) Seq(col("html")) else Nil)
-    val metaNames = Seq("warc_url", "url", "warc_date", "content_type") ++
+    val metaNames = Seq("warc_url", "url", "warc_date", "warc_filename",
+      "content_type", "uncompressed_offset") ++
       (if (storeHtml) Seq("html") else Nil)
-    val attrsCol =
-      if (pre.nonEmpty && post.nonEmpty)
-        map_concat(col("__pre_attrs"), col("__post_attrs"))
-      else if (pre.nonEmpty) col("__pre_attrs")
-      else if (post.nonEmpty) col("__post_attrs")
-      else map().cast(MapType(StringType, TagRunner.spanTripleType))
+    val attrsCol = map_concat(col("__pre_attrs"), col("__post_attrs"))
     filtered.select(
-      col("record_id").as("id"),
+      // payload_id (record_info.py:28): the digest value after the
+      // algorithm prefix, lowercased — "sha1:B64…" → "b64…".
+      lower(regexp_replace(col("payload_digest"), "^[^:]*:", "")).as("id"),
       col("text"),
       lit(sourceName).as("source"),
       lit("v0").as("version"),
+      // created = the response's own HTTP Date (record_info.py:34,
+      // processor.py:199); added = extraction time (processor.py:200).
+      dolmaTimestamp(col("http_date")).as("created"),
+      dolmaTimestamp(lit(null).cast("string")).as("added"),
       map(metaNames.zip(metaCols).flatMap { case (n, c) => Seq(lit(n), c) }: _*)
         .as("metadata"),
       attrsCol.as("attributes"))
   }
+
+  /** Dolma's near-ISO-8601 timestamp (processor.py:46-50): millisecond
+    * precision + 'Z'. Accepts ISO and RFC-1123 (HTTP `Date:`) inputs —
+    * the two shapes `DATE_FORMATS` (record_info.py:15) admits — and, like
+    * the reference's `datetime.now()` fallback, stamps the current time
+    * when the input is absent or unparseable. */
+  def dolmaTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(date_format(coalesce(
+      try_to_timestamp(c),
+      // RFC-1123 HTTP dates are always "EEE, dd MMM yyyy HH:mm:ss GMT";
+      // Spark 3+ patterns reject 'E' (day-of-week) and zone-name parsing,
+      // so strip the redundant weekday prefix and GMT/UTC suffix first.
+      try_to_timestamp(
+        regexp_replace(c, "^[A-Za-z]{3},\\s*|\\s*(GMT|UTC|[+-]0000)$", ""),
+        lit("dd MMM yyyy HH:mm:ss")),
+      current_timestamp()), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z"))
 }
 
 /** Real HTML → text linearizer (stand-in for resiliparse's
@@ -333,13 +467,20 @@ object Linearizer {
     while (i < src.length) {
       val c = src.charAt(i)
       if (c == '<') {
-        // find tag end respecting quoted attribute values
+        // Find tag end respecting quoted attribute values. Per the HTML5
+        // tokenizer, a quote only opens an attribute VALUE when it directly
+        // follows '=' (before-attribute-value state); elsewhere a stray
+        // quote is just a bogus attribute name. Real CommonCrawl pages
+        // contain tags like `content="…" " />` whose extra quote would
+        // otherwise flip the parity and swallow the rest of the document.
         var j = i + 1
         var quote: Char = 0
+        var prev: Char = 0 // last non-space char seen outside a quoted value
         while (j < src.length && (quote != 0 || src.charAt(j) != '>')) {
           val ch = src.charAt(j)
           if (quote != 0) { if (ch == quote) quote = 0 }
-          else if (ch == '"' || ch == '\'') quote = ch
+          else if ((ch == '"' || ch == '\'') && prev == '=') quote = ch
+          if (quote == 0 && !ch.isWhitespace) prev = ch
           j += 1
         }
         if (j >= src.length) i = src.length

@@ -12,7 +12,17 @@ import java.util.regex.Pattern
   * 0.5 + 0.5/(i+1) decaying over successive matches.
   *
   * Java regex forbids the reference's duplicate `(?P<type>)` group name, so
-  * the alternation uses `type1`/`type2` coalesced — same captures. */
+  * the alternation uses `type1`/`type2` coalesced — same captures.
+  *
+  * Class-semantics parity: the Python `regex` module's `\p{Punct}` is the
+  * Unicode P* categories ONLY — ASCII `<` `>` `=` `+` are Sm SYMBOLS and do
+  * NOT match (that's why the reference's class lists `=` explicitly). So
+  * the attribute-soup class `[\w\p{Punct}\s=]*` can never cross a tag
+  * boundary. Java's default `\p{Punct}` is POSIX punct (all ASCII
+  * punctuation INCLUDING `<>`), which lets one match gobble across tags
+  * and swallow later license links (observed on the reference's
+  * sample-0001 fixture: the `by/3.0/deed.en` match vanished). Translate as
+  * `\p{P}` + UNICODE_CHARACTER_CLASS (Unicode `\w`/`\s`, like Python). */
 abstract class CcLicenseTagger extends Tagger {
   protected def pattern: Pattern
   protected def typeGroups: Seq[String]
@@ -60,11 +70,12 @@ object LicenseTaggers {
   final class CcRe extends CcLicenseTagger {
     val name = "cc_re"
     protected val pattern: Pattern = Pattern.compile(
-      "<(a|A|meta)\\s[\\w\\p{Punct}\\s=]*\n*(href|HREF|content)" +
+      "<(a|A|meta)\\s[\\w\\p{P}\\s=]*\n*(href|HREF|content)" +
         "=('|\"|&quot;)?http(s*)://creativecommons\\.org/" +
         s"((licenses/(?<type1>$LicenseType))|(?<type2>publicdomain/(zero|certification|mark)))" +
         s"(?<version>/$Version)?" +
-        s"((/$LangPrefix)?/((deed|legalcode)\\.)?(?<lang>$LangPrefix))?.*?('|\"|&quot;).*?>")
+        s"((/$LangPrefix)?/((deed|legalcode)\\.)?(?<lang>$LangPrefix))?.*?('|\"|&quot;).*?>",
+      Pattern.UNICODE_CHARACTER_CLASS)
     protected val typeGroups = Seq("type1", "type2")
     protected val versionGroup = Some("version")
     protected val langGroup = Some("lang")

@@ -18,6 +18,7 @@ class WarcSpec extends AnyFunSuite {
     val payload = http.getBytes(StandardCharsets.ISO_8859_1) ++ body
     val rec = s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
       s"WARC-Target-URI: $uri\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Payload-Digest: sha1:PD${Integer.toHexString(uri.hashCode).toUpperCase}\r\n" +
       s"Content-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n"
     rec.getBytes(StandardCharsets.ISO_8859_1) ++ payload ++ "\r\n\r\n".getBytes
@@ -26,6 +27,7 @@ class WarcSpec extends AnyFunSuite {
   private def warcInfo(): Array[Byte] = {
     val body = "software: test\r\n".getBytes
     (s"WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Record-ID: <urn:uuid:info>\r\n" +
+      s"WARC-Date: 2024-02-03T04:05:06Z\r\n" +
       s"Content-Type: application/warc-fields\r\nContent-Length: ${body.length}\r\n\r\n")
       .getBytes(StandardCharsets.ISO_8859_1) ++ body ++ "\r\n\r\n".getBytes
   }
@@ -33,7 +35,8 @@ class WarcSpec extends AnyFunSuite {
   private val html1 =
     "<html><head><title>T</title><style>p{}</style></head>" +
       "<body><h1>Heading</h1><p>First paragraph with an email dev1@example.com.</p>" +
-      "<script>var x = 1;</script><p>Second &amp; final.</p></body></html>"
+      "<script>var x = 1;</script><p>Second &amp; final. " +
+      "<a href=\"https://creativecommons.org/licenses/by/4.0/\">license</a></p></body></html>"
   private val html2 = "<html><body><div>clean page</div></body></html>"
 
   private def writeFixture(gz: Boolean): String = {
@@ -141,8 +144,8 @@ class WarcSpec extends AnyFunSuite {
     val dir = writeFixture(gz = false)
     val recs = Warc.readRecords(spark, dir)
     val docs = Warc.extractDocuments(recs, "cc-test",
-      preTaggers = Seq("pii_regex_with_counts_fast_v2"),
-      postTaggers = Seq("char_length_v1"))
+      preTaggers = Seq("cc_re"),
+      postTaggers = Seq("pii_regex_with_counts_fast_v2", "char_length_v1"))
     val rows = docs.orderBy(col("id")).collect()
     assert(rows.length == 2)
     assert(rows.forall(_.getAs[String]("source") == "cc-test"))
@@ -151,13 +154,145 @@ class WarcSpec extends AnyFunSuite {
       .filter(col("metadata")("url") === "example.com/a").head()
     assert(withEmail.getAs[String]("text").contains("dev1@example.com"))
     val attrs = withEmail.getAs[Map[String, Any]]("attributes")
+    // PRE-tagger parity: cc_re saw the raw html via metadata (text is
+    // still empty pre-linearization); keys are {tagger}__{tagger}__{attr}
+    assert(attrs.contains("cc_re__cc_re__cc_by_4_0"))
     assert(attrs.keys.exists(_.contains("pii")))
     assert(attrs.keys.exists(_.contains("char_length")))
+
+    // skip_no_pre_taggers: only the page with a CC link survives
+    val pretagged = Warc.extractDocuments(recs, "cc-test",
+      preTaggers = Seq("cc_re"), skipNoPreTaggers = true)
+    assert(pretagged.count() == 1)
 
     // skip_no_post_taggers: v2r2 token repetitions emit NO spans on clean
     // text, so both pages drop
     val skipped = Warc.extractDocuments(recs, "cc-test",
       postTaggers = Seq("tokenizer_repetitions_v2r2"), skipNoPostTaggers = true)
     assert(skipped.count() == 0)
+  }
+
+  test("extractDocuments: dolma metadata parity (warcinfo stamps, digest id)") {
+    val dir = writeFixture(gz = false)
+    val recs = Warc.readRecords(spark, dir)
+    val rows = Warc.extractDocuments(recs, "cc-test").collect()
+    assert(rows.length == 2)
+    for (r <- rows) {
+      val md = r.getAs[Map[String, String]]("metadata")
+      assert(md.keySet == Set("warc_url", "url", "warc_date", "warc_filename",
+        "content_type", "uncompressed_offset"))
+      // warc_date / warc_filename are stamped from the WARCINFO record
+      // (processor.py:135-138,167-168), warc_date dolma-formatted
+      assert(md("warc_date") == "2024-02-03T04:05:06.000Z")
+      assert(md("warc_filename") == "<urn:uuid:info>")
+      // content_type is the HTTP Content-Type up to ';' (record_info.py:31-33)
+      assert(md("content_type") == "text/html")
+      assert(md("uncompressed_offset").toLong > 0)
+      // id = payload digest after the algorithm prefix, lowercased
+      val id = r.getAs[String]("id")
+      assert(id.startsWith("pd") && id == id.toLowerCase)
+      assert(r.getAs[String]("created")
+        .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z"""))
+      assert(r.getAs[String]("added")
+        .matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{3}Z"""))
+    }
+  }
+
+  test("extractDocuments: records without payload digest are invalid and skipped") {
+    val dir = Files.createTempDirectory("graft-warc-nodigest").toString
+    val noDigest =
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:x>\r\n" +
+        s"WARC-Target-URI: http://x.com/\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Type: application/http; msgtype=response\r\n")
+    val body = html2.getBytes(StandardCharsets.UTF_8)
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+    val payload = http.getBytes(StandardCharsets.ISO_8859_1) ++ body
+    val bytes = (noDigest + s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++ "\r\n\r\n".getBytes
+    Files.write(Paths.get(dir, "nd.warc"), bytes)
+    // is_valid (record_info.py:42-49): no digest -> record contributes no doc
+    assert(Warc.extractDocuments(Warc.readRecords(spark, dir), "t").count() == 0)
+  }
+
+  test("chunked transfer encoding is decoded to the contiguous body") {
+    val html = "<html><body><p>chunked page body here</p></body></html>"
+    val (c1, c2) = html.splitAt(17)
+    val chunked = f"${c1.length}%x\r\n$c1\r\n${c2.length}%x\r\n$c2\r\n0\r\n\r\n"
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + chunked
+    val payload = http.getBytes(StandardCharsets.ISO_8859_1)
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:c>\r\n" +
+      s"WARC-Target-URI: http://c.com/\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"WARC-Payload-Digest: sha1:CHK\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ payload ++ "\r\n\r\n".getBytes
+    val r = Warc.iterateRecords(
+      new java.io.ByteArrayInputStream(rec), gzipped = false).toVector.head
+    assert(new String(r.payload, StandardCharsets.UTF_8) == html)
+    // a NON-chunked body containing a hex-digit-leading line is untouched
+    val plain = Warc.splitHttpPayload(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nabc not chunked")
+        .getBytes(StandardCharsets.ISO_8859_1))
+    assert(new String(plain.body, StandardCharsets.UTF_8) == "abc not chunked")
+  }
+
+  // The reference's own WARC integration fixtures: two real CommonCrawl
+  // sample shards (tests/python/test_warc.py:48-78 expects 22 and 15
+  // extracted documents, every text > 50 chars, the five metadata keys,
+  // version v0). Running them end-to-end exercises real-world markup,
+  // chunked-transfer bodies, charset fallbacks and digest ids at once.
+  test("reference CommonCrawl samples: extraction parity with test_warc.py") {
+    val base = "/root/reference/tests/data/warc"
+    assume(Files.exists(Paths.get(base, "sample-0000.warc.gz")))
+    for ((f, expected) <- Seq("sample-0000.warc.gz" -> 22, "sample-0001.warc.gz" -> 15)) {
+      val docs = Warc.extractDocuments(
+        Warc.readRecords(spark, s"$base/$f"), "test").collect()
+      assert(docs.length == expected, f)
+      for (d <- docs) {
+        assert(d.getAs[String]("text").length > 50, f)
+        val md = d.getAs[Map[String, String]]("metadata")
+        for (k <- Seq("warc_url", "url", "warc_date", "warc_filename", "content_type"))
+          assert(md.contains(k), s"$f missing $k")
+        assert(d.getAs[String]("version") == "v0")
+        assert(d.getAs[String]("source") == "test")
+        // sha1 payload digests, lowercased: base32 alphabet
+        assert(d.getAs[String]("id").matches("[a-z2-7]+"), f)
+      }
+    }
+  }
+
+  // test_warc.py:79-105 (pretag path): cc_re as pre-tagger with
+  // skip_no_pre_taggers + store_html_in_metadata. The reference pins the
+  // exact surviving documents and their license attribute sets.
+  test("reference CommonCrawl samples: cc_re pretag + store_html parity") {
+    val base = "/root/reference/tests/data/warc"
+    assume(Files.exists(Paths.get(base, "sample-0000.warc.gz")))
+    def run(f: String) = Warc.extractDocuments(
+      Warc.readRecords(spark, s"$base/$f"), "test",
+      preTaggers = Seq("cc_re"), skipNoPreTaggers = true, storeHtml = true)
+      .orderBy(col("metadata")("uncompressed_offset").cast("long"))
+      .collect()
+    def ccSet(r: org.apache.spark.sql.Row): Set[String] =
+      r.getAs[Map[String, Any]]("attributes").keys
+        .filter(_.startsWith("cc_re__cc_re__cc"))
+        .map(_.stripPrefix("cc_re__cc_re__cc_")).toSet
+
+    val s0 = run("sample-0000.warc.gz")
+    assert(s0.length == 1)
+    assert(s0(0).getAs[Map[String, String]]("metadata")("url") == "soldaini.net")
+    assert(s0(0).getAs[Map[String, Any]]("attributes")
+      .contains("cc_re__cc_re__cc_by_4_0"))
+    assert(s0(0).getAs[Map[String, String]]("metadata").contains("html"))
+
+    val s1 = run("sample-0001.warc.gz")
+    assert(s1.length == 3)
+    assert(s1.forall(_.getAs[Map[String, String]]("metadata")("url")
+      .startsWith("creativecommons.org")))
+    assert(ccSet(s1(0)) ==
+      Set("by_4_0", "publicdomain_mark_1_0", "by_2_0", "by_3_0_en", "by_nc_sa_4_0"))
+    assert(ccSet(s1(1)) == Set("by_4_0", "by_3_0"))
+    assert(s1(2).getAs[Map[String, Any]]("attributes")
+      .contains("cc_re__cc_re__cc_by_4_0"))
   }
 }
