@@ -59,6 +59,18 @@ object Hashing {
 
   def simhash64(text: Column): Column =
     Bridge.toColumn(SimHash64Expr(Bridge.toExpr(text)))
+
+  /** The deterministic Gaussian hyperplane family shared by
+    * [[HyperplaneBucketExpr]] (row side) and the driver-side query-bucket
+    * computation in `Ann.lshBucketedTopK` — one generation order, so the
+    * two sides always agree bit-for-bit. */
+  def hyperplanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column =
+    Bridge.toColumn(HyperplaneBucketExpr(Bridge.toExpr(vec), dim, bits, seed))
 }
 
 /** MinHash signature (Broder 1997) of the k-word-shingle set: base 64-bit
@@ -119,6 +131,59 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numPerms: Int)
 }
 
 /** 64-bit SimHash (Charikar 2002) of the lowercase token multiset. */
+/** Random-hyperplane LSH bucket (Charikar 2002): `bits` sign bits of the
+  * input vector's projections onto seeded Gaussian hyperplanes, packed into
+  * a long. The declarative formulation — `bits` × `aggregate(zip_with(vec,
+  * array(dim literals)))` — builds a plan of O(bits·dim) Catalyst nodes
+  * (analyzer/optimizer seconds at bits=12, dim=64) and materializes `bits`
+  * intermediate arrays PER ROW; this expression carries only (dim, bits,
+  * seed), regenerates the planes once per executor, and does one tight
+  * O(bits·dim) loop per row. Projection sums fold in element order, exactly
+  * like `aggregate`, so bucket ids are bit-identical to the old plan. */
+case class HyperplaneBucketExpr(child: Expression, dim: Int, bits: Int, seed: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val flat: Array[Double] = {
+    val planes = Hashing.hyperplanes(dim, bits, seed)
+    val f = new Array[Double](bits * dim)
+    var i = 0
+    while (i < bits) { System.arraycopy(planes(i), 0, f, i * dim, dim); i += 1 }
+    f
+  }
+
+  @transient private lazy val elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val vec: Array[Double] =
+      if (elemIsFloat) {
+        val fs = arr.toFloatArray()
+        val ds = new Array[Double](fs.length)
+        var i = 0
+        while (i < fs.length) { ds(i) = fs(i).toDouble; i += 1 }
+        ds
+      } else arr.toDoubleArray()
+    val n = math.min(vec.length, dim)
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var proj = 0.0
+      val base = b * dim
+      var j = 0
+      while (j < n) { proj += flat(base + j) * vec(j); j += 1 }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class SimHash64Expr(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType

@@ -56,18 +56,13 @@ object Ann {
 
   /** Random-hyperplane signature: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (seeded by index — no stored
-    * model). Returns a long bucket id. */
-  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
-    val bitCols = planes.zipWithIndex.map { case (plane, i) =>
-      val proj = aggregate(
-        zip_with(vec, array(plane.map(lit).toIndexedSeq: _*), (a, b) => a.cast("double") * b),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bitCols.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * model). Returns a long bucket id. One native Catalyst expression
+    * ([[graft.functions.HyperplaneBucketExpr]]) — the former declarative
+    * `bits × aggregate(zip_with(vec, array(dim literals)))` formulation
+    * spent seconds of plan-compile on its O(bits·dim) node tree and built
+    * `bits` intermediate arrays per row; bucket ids are unchanged. */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column =
+    graft.functions.Hashing.hyperplaneBucket(vec, dim, bits, seed)
 
   /** LSH-bucketed approximate top-k: scan only rows whose bucket matches
     * the query's bucket (multi-probe: plus buckets at Hamming distance 1).
@@ -75,8 +70,7 @@ object Ann {
   def lshBucketedTopK(df: DataFrame, idCol: Column, vecCol: Column,
       query: Seq[Double], k: Int, bits: Int = 8, seed: Long = 42L): DataFrame = {
     val dim = query.length
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    val planes = graft.functions.Hashing.hyperplanes(dim, bits, seed)
     var qBucket = 0L
     planes.zipWithIndex.foreach { case (plane, i) =>
       val proj = plane.zip(query).map { case (p, x) => p * x }.sum
