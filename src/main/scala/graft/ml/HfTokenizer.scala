@@ -25,7 +25,11 @@ final class HfTokenizer(
     val vocab: Map[String, Int],
     idToToken: Map[Int, String],
     ranks: Map[(String, String), Int],
-    pretokKind: String) extends Serializable {
+    pretokKind: String,
+    normOps: List[(String, String, String)] = Nil,
+    byteFallback: Boolean = false,
+    addedTokens: Vector[(String, Int)] = Vector.empty,
+    unkId: Option[Int] = None) extends Serializable {
 
   def vocabSize: Int = vocab.size
 
@@ -33,6 +37,23 @@ final class HfTokenizer(
     case "olmo" => graft.taggers.LengthTaggers.OlmoPreTokenizer.pieces(text)
     case _ => graft.taggers.LengthTaggers.OlmoPreTokenizer.gpt2Pieces(text)
   }
+
+  /** Apply the tokenizer.json normalizer pipeline (NFC / Lowercase /
+    * Prepend / Replace / Sequence-flattened) in declared order. */
+  private def normalize(text: String): String =
+    normOps.foldLeft(text) { case (s, (op, a, b)) =>
+      op match {
+        case "NFC" => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+        case "NFKC" => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
+        case "NFD" => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        case "NFKD" => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+        case "Lowercase" => s.toLowerCase
+        case "Prepend" => if (s.isEmpty) s else a + s
+        case "Replace" => s.replace(a, b)
+        case other => throw new IllegalArgumentException(
+          s"unsupported normalizer '$other' in tokenizer.json")
+      }
+    }
 
   /** One pre-token piece: bytes → byte-level chars → merge loop → ids. */
   private def encodePiece(piece: String): Vector[Int] = {
@@ -72,20 +93,145 @@ final class HfTokenizer(
     }.toVector
   }
 
-  def encode(text: String): Array[Int] =
-    pretokenize(text).iterator.flatMap(encodePiece).toArray
+  /** Char-level BPE over the normalized text (the SentencePiece-style
+    * llama family: no pre-tokenizer, the WHOLE document is one merge
+    * arena). The naive lowest-rank rescan loop is O(n²) on documents, so
+    * this path uses the standard linked-list + priority-queue merge:
+    * candidates ordered by (rank, leftmost position), validated against
+    * staleness on pop — O(n log n), same result (each BPE pair has a
+    * unique rank, so pop order is deterministic). */
+  private def encodeChars(s: String): Vector[Int] = {
+    if (s.isEmpty) return Vector.empty
+    // initial symbols: one per code point
+    val init = new mutable.ArrayBuffer[String](s.length)
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      init += new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+    }
+    val n = init.length
+    val syms = init.toArray
+    val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
+    val prev = Array.tabulate(n)(i => i - 1)
+    val alive = Array.fill(n)(true)
+    final case class Cand(rank: Int, pos: Int, left: String, right: String)
+    val pq = new java.util.PriorityQueue[Cand](math.max(1, n),
+      (x: Cand, y: Cand) =>
+        if (x.rank != y.rank) Integer.compare(x.rank, y.rank)
+        else Integer.compare(x.pos, y.pos))
+    def push(pos: Int): Unit = {
+      val nx = next(pos)
+      if (pos >= 0 && nx >= 0)
+        ranks.get((syms(pos), syms(nx))).foreach(r =>
+          pq.add(Cand(r, pos, syms(pos), syms(nx))))
+    }
+    (0 until n - 1).foreach(push)
+    while (!pq.isEmpty) {
+      val c = pq.poll()
+      val nx = if (alive(c.pos)) next(c.pos) else -1
+      if (nx >= 0 && alive(nx) && syms(c.pos) == c.left && syms(nx) == c.right) {
+        syms(c.pos) = c.left + c.right
+        alive(nx) = false
+        next(c.pos) = next(nx)
+        if (next(nx) >= 0) prev(next(nx)) = c.pos
+        if (prev(c.pos) >= 0) push(prev(c.pos))
+        push(c.pos)
+      }
+    }
+    val out = Vector.newBuilder[Int]
+    var i = 0
+    while (i >= 0) {
+      if (alive(i)) {
+        val t = syms(i)
+        vocab.get(t) match {
+          case Some(id) => out += id
+          case None if byteFallback =>
+            t.getBytes("UTF-8").foreach { b =>
+              val bt = f"<0x${b & 0xff}%02X>"
+              out += vocab.getOrElse(bt, throw new NoSuchElementException(
+                s"byte-fallback token '$bt' missing from vocab"))
+            }
+          case None => out += unkId.getOrElse(throw new NoSuchElementException(
+            s"token '$t' not in vocab and no unk_token defined"))
+        }
+      }
+      i = next(i)
+    }
+    out.result()
+  }
+
+  /** Split on added tokens (longest first, verbatim match) so PII masks
+    * like `|||EMAIL_ADDRESS|||` become single ids, then encode each
+    * intervening segment through the configured pipeline. */
+  private def encodeSegment(seg: String): Iterator[Int] =
+    if (pretokKind == "char") encodeChars(normalize(seg)).iterator
+    else pretokenize(normalize(seg)).iterator.flatMap(encodePiece)
+
+  def encode(text: String): Array[Int] = {
+    if (text.isEmpty) return Array.empty
+    if (addedTokens.isEmpty) return encodeSegment(text).toArray
+    val out = new mutable.ArrayBuffer[Int]
+    var rest = text
+    while (rest.nonEmpty) {
+      // earliest occurrence of any added token; ties -> longest token
+      var bestAt = -1; var bestTok = ""; var bestId = -1
+      addedTokens.foreach { case (t, id) =>
+        val at = rest.indexOf(t)
+        if (at >= 0 && (bestAt < 0 || at < bestAt ||
+            (at == bestAt && t.length > bestTok.length))) {
+          bestAt = at; bestTok = t; bestId = id
+        }
+      }
+      if (bestAt < 0) { out ++= encodeSegment(rest); rest = "" }
+      else {
+        if (bestAt > 0) out ++= encodeSegment(rest.substring(0, bestAt))
+        out += bestId
+        rest = rest.substring(bestAt + bestTok.length)
+      }
+    }
+    out.toArray
+  }
 
   def countTokens(text: String): Int = encode(text).length
 
-  def decode(ids: Seq[Int]): String = {
-    val chars = new StringBuilder
-    ids.foreach { id =>
-      chars ++= idToToken.getOrElse(id, throw new NoSuchElementException(
-        s"unknown token id $id"))
+  /** Insert bos / append eos when configured and not already present —
+    * the reference wrapper's semantics (tokenizer.py:248-261), which it
+    * applies OVER the base encoding (its post-processor templates are
+    * bypassed via add_special_tokens=False). */
+  def addSpecialTokens(ids: Array[Int], bosId: Option[Int], eosId: Option[Int]): Array[Int] = {
+    if (ids.isEmpty) return ids
+    val withBos = bosId match {
+      case Some(b) if ids.head != b => b +: ids
+      case _ => ids
     }
-    val bytes = new java.io.ByteArrayOutputStream(chars.length)
-    chars.foreach(c => bytes.write(HfTokenizer.charToByte(c)))
-    new String(bytes.toByteArray, "UTF-8")
+    eosId match {
+      case Some(e) if withBos.last != e => withBos :+ e
+      case _ => withBos
+    }
+  }
+
+  def decode(ids: Seq[Int]): String = {
+    val toks = ids.map(id => idToToken.getOrElse(id,
+      throw new NoSuchElementException(s"unknown token id $id")))
+    if (pretokKind == "char") {
+      // llama-style decoder: byte-fallback tokens to raw bytes, U+2581 to
+      // space, fuse, strip the single prepended leading space
+      val bytes = new java.io.ByteArrayOutputStream(toks.map(_.length).sum)
+      val ByteTok = "<0x([0-9A-Fa-f]{2})>".r
+      toks.foreach {
+        case ByteTok(h) => bytes.write(Integer.parseInt(h, 16))
+        case t => bytes.write(t.replace('▁', ' ').getBytes("UTF-8"))
+      }
+      val s = new String(bytes.toByteArray, "UTF-8")
+      if (s.startsWith(" ")) s.substring(1) else s
+    } else {
+      val chars = new StringBuilder
+      toks.foreach(chars ++= _)
+      val bytes = new java.io.ByteArrayOutputStream(chars.length)
+      chars.foreach(c => bytes.write(HfTokenizer.charToByte(c)))
+      new String(bytes.toByteArray, "UTF-8")
+    }
   }
 }
 
@@ -142,12 +288,42 @@ object HfTokenizer {
           }
         (a, b) -> rank
     }.toMap).getOrElse(Map.empty)
-    val pretokKind = Option(root.get("pre_tokenizer"))
-      .flatMap(p => Option(p.get("type")).map(_.asText())) match {
-      case Some("Sequence") => "olmo"
-      case _ => "gpt2"
-    }
-    new HfTokenizer(vocab, vocab.map(_.swap), merges, pretokKind)
+    // pre_tokenizer selects the piece pipeline: ByteLevel -> GPT-2 regex
+    // pieces over the byte alphabet; Sequence -> the OLMo pipeline; ABSENT
+    // (llama/SentencePiece family) -> "char": the whole normalized text is
+    // one char-level merge arena with <0xXX> byte fallback.
+    val preNode = root.get("pre_tokenizer")
+    val pretokKind =
+      if (preNode == null || preNode.isNull) "char"
+      else Option(preNode.get("type")).map(_.asText()) match {
+        case Some("Sequence") => "olmo"
+        case _ => "gpt2"
+      }
+    def normList(n: com.fasterxml.jackson.databind.JsonNode): List[(String, String, String)] =
+      Option(n).filterNot(_.isNull).toList.flatMap { node =>
+        node.get("type").asText() match {
+          case "Sequence" => node.get("normalizers").elements().asScala.toList.flatMap(normList)
+          case "Prepend" => List(("Prepend", node.get("prepend").asText(), ""))
+          case "Replace" =>
+            val pat = node.get("pattern")
+            val p = Option(pat.get("String")).map(_.asText()).getOrElse(
+              throw new IllegalArgumentException(
+                "only String patterns supported in Replace normalizer"))
+            List(("Replace", p, node.get("content").asText()))
+          case t => List((t, "", ""))
+        }
+      }
+    val normOps = normList(root.get("normalizer"))
+    val byteFallback =
+      Option(model.get("byte_fallback")).exists(_.asBoolean(false))
+    val unkId = Option(model.get("unk_token")).filterNot(_.isNull)
+      .map(_.asText()).flatMap(vocab.get)
+    val added = Option(root.get("added_tokens")).map(_.elements().asScala.map { t =>
+      t.get("content").asText() -> t.get("id").asInt()
+    }.toVector.sortBy(-_._1.length)).getOrElse(Vector.empty)
+    val fullVocab = vocab ++ added.filterNot { case (t, _) => vocab.contains(t) }
+    new HfTokenizer(fullVocab, fullVocab.map(_.swap), merges, pretokKind,
+      normOps, byteFallback, added, unkId)
   }
 
   def load(path: String): HfTokenizer =
