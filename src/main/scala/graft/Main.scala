@@ -21,7 +21,12 @@ import scala.jdk.CollectionConverters._
   * Config:
   * {{{
   * {
-  *   "input":   {"format": "parquet|jsonl|table", "path": "...", "id": "id", "text": "content"},
+  *   "input":   {"format": "parquet|jsonl|table|warc", "path": "...", "id": "id", "text": "content"},
+  *   // "warc" runs the reference's `dolma warc` extraction in-pipeline
+  *   // (warc/processor.py): records -> linearized dolma documents.
+  *   // Extra input fields: "source_name", "pre_taggers" (on raw html),
+  *   // "post_taggers" (on linearized text), "skip_no_pre_taggers",
+  *   // "skip_no_post_taggers", "store_html_in_metadata".
   *   "taggers": ["gopher_v2", "pii_regex_with_counts_fast_v2"],
   *   "experiment": "exp",
   *   "dedupe":  {"enabled": true, "mode": "documents|paragraphs|ngrams",
@@ -32,6 +37,17 @@ import scala.jdk.CollectionConverters._
   *                         "replacement": "[EMAIL]"}],
   *   "min_text_length": 1,
   *   "output":  {"path": "...", "format": "parquet|jsonl|table"},
+  *   "tokens":  {"enabled": true, "destination": "...",   // optional: the
+  *               // `dolma tokens` stage over the mixed output — binary
+  *               // shards + metadata table under destination/
+  *               "tokenizer": {"path": "tokenizer.json",  // HF format;
+  *                             // omitted -> hashed-vocab ids
+  *                             "bos_token_id": null, "eos_token_id": 2,
+  *                             "segment_before_tokenization": false},
+  *               "bytes_per_token": 2, "num_shards": 0,
+  *               "target_tokens_per_shard": 536870912,
+  *               "min_shard_size_bytes": 0,    // >0 -> reshard pass
+  *               "dolma_layout": false},       // .npy + .csv.gz export
   *   "attributes_output": "...",   // optional
   *   "metrics_output": "...",      // optional: lineage + rule metrics
   *   "ledger": "..."               // optional: resume checkpoint
@@ -86,9 +102,11 @@ object Main {
     val idColName = opt(input, "id").getOrElse("id")
     val textColName = opt(input, "text").getOrElse("content")
     val inFormat = opt(input, "format").getOrElse("parquet")
+    val isWarc = inFormat == "warc"
     val raw0 = inFormat match {
       case "jsonl" => graft.sources.Jsonl.readDocuments(spark, input.get("path").asText())
       case "table" => spark.read.table(input.get("path").asText())
+      case "warc" => graft.sources.Warc.readRecords(spark, input.get("path").asText())
       case _ => spark.read.parquet(input.get("path").asText())
     }
 
@@ -104,6 +122,10 @@ object Main {
         "in the catalog instead (see Main scaladoc)")
     val allFiles =
       if (inFormat == "table") Seq.empty[String]
+      // the WARC frame is RDD-backed (binaryFiles) — list the archive
+      // names without reading them (PortableDataStream keys are lazy)
+      else if (isWarc) spark.sparkContext
+        .binaryFiles(input.get("path").asText()).map(_._1).collect().toSeq.sorted
       else raw0.inputFiles.toSeq.sorted
     val doneKeys = ledger.map(_.completedKeySet()).getOrElse(Set.empty[String])
     val pendingFiles = allFiles.filterNot(doneKeys)
@@ -142,21 +164,47 @@ object Main {
       }
     val raw =
       if (pendingFiles.size == allFiles.size) raw0
+      else if (isWarc)
+        graft.sources.Warc.readRecords(spark, pendingFiles.mkString(","))
       else {
         val rd = spark.read.schema(raw0.schema)
         if (inFormat == "jsonl") rd.json(pendingFiles: _*)
         else rd.parquet(pendingFiles: _*)
       }
 
-    val docs = raw
-      .withColumnRenamed(idColName, "id")
-      .withColumnRenamed(textColName, "content")
-      // ids are strings in the dolma document model; coerce numeric ids
-      .withColumn("id", col("id").cast("string"))
-      // capture provenance columns at scan time — after joins the scan is
-      // no longer the unique source for input_file_name()
-      .withColumn("__file", input_file_name())
-      .withColumn("__ord", monotonically_increasing_id())
+    // "warc" input runs the reference's `dolma warc` extraction
+    // (warc/processor.py) INSIDE the pipeline: records → linearized dolma
+    // documents, with the warc-specific pre/post taggers from the input
+    // config; the extracted attributes ride along as a column (no extra
+    // join) and merge with the pipeline's own tagger output below.
+    def strList(n: JsonNode, f: String): Seq[String] =
+      Option(n.get(f)).map(_.elements().asScala.map(_.asText()).toSeq)
+        .getOrElse(Seq.empty)
+    def flag(n: JsonNode, f: String): Boolean =
+      Option(n.get(f)).exists(_.asBoolean(false))
+    val docs =
+      if (isWarc) {
+        graft.sources.Warc.extractDocuments(raw,
+          opt(input, "source_name").getOrElse("warc"),
+          preTaggers = strList(input, "pre_taggers"),
+          postTaggers = strList(input, "post_taggers"),
+          skipNoPreTaggers = flag(input, "skip_no_pre_taggers"),
+          skipNoPostTaggers = flag(input, "skip_no_post_taggers"),
+          storeHtml = flag(input, "store_html_in_metadata"),
+          keepWarcFile = true)
+          .withColumnRenamed("text", "content")
+          .withColumnRenamed("attributes", "__warc_attrs")
+          .withColumnRenamed("__warc_file", "__file")
+          .withColumn("__ord", monotonically_increasing_id())
+      } else raw
+        .withColumnRenamed(idColName, "id")
+        .withColumnRenamed(textColName, "content")
+        // ids are strings in the dolma document model; coerce numeric ids
+        .withColumn("id", col("id").cast("string"))
+        // capture provenance columns at scan time — after joins the scan
+        // is no longer the unique source for input_file_name()
+        .withColumn("__file", input_file_name())
+        .withColumn("__ord", monotonically_increasing_id())
 
     // tag (fused battery)
     val taggers = Option(cfg.get("taggers")).map(_.elements().asScala.map(_.asText()).toSeq)
@@ -214,6 +262,17 @@ object Main {
       }
 
     var withAttrs = Mixer.mergeAttributes(docs, attrsForMerge.toSeq ++ dedupAttr)
+    // fold the WARC extraction's own attributes in (they were computed in
+    // the same scan; later maps win on duplicate keys, like mergeAttributes)
+    if (isWarc) {
+      withAttrs =
+        if (withAttrs.columns.contains("attributes"))
+          withAttrs.withColumn("attributes",
+            map_zip_with(col("__warc_attrs"), col("attributes"),
+              (_, v1, v2) => coalesce(v2, v1)))
+            .drop("__warc_attrs")
+        else withAttrs.withColumnRenamed("__warc_attrs", "attributes")
+    }
     if (dedupEnabled && dedupMode == "documents") {
       withAttrs = graft.dedup.Dedup.markDuplicates(
         withAttrs, sha2(col("content"), 256), col("__ord"))
@@ -349,6 +408,58 @@ object Main {
       Metrics.fileLineage(written, col("id"))
         .write.mode("overwrite").parquet(p + "/lineage")
     }
+
+    // tokens stage (the `dolma tokens` CLI surface, reference
+    // tokenizer/executor.py + cli): tokenize the MIXED output into binary
+    // memmap shards + a metadata table. Reads back the files the output
+    // write just committed (same pattern as the metrics block) so the
+    // pipeline still evaluates exactly once.
+    Option(cfg.get("tokens"))
+      .filter(t => Option(t.get("enabled")).forall(_.asBoolean(true)))
+      .foreach { t =>
+        val dest = t.get("destination").asText()
+        val docsOut = outFormat match {
+          case "jsonl" => graft.sources.Jsonl.readDocuments(spark, outPath)
+          case "table" => spark.read.table(outPath)
+          case _ => spark.read.parquet(outPath)
+        }
+        // the pipeline normalizes column names at ingest: the mixed
+        // output always carries "id" / "content"
+        val toks = Option(t.get("tokenizer")).flatMap(tk => opt(tk, "path")) match {
+          case Some(vocabPath) =>
+            val tk = t.get("tokenizer")
+            def idOf(f: String): Option[Int] =
+              Option(tk.get(f)).filterNot(_.isNull).map(_.asInt())
+            graft.sources.TokenSink.hfTokenIds(col("content"), vocabPath,
+              eosId = idOf("eos_token_id"), bosId = idOf("bos_token_id"),
+              segment = Option(tk.get("segment_before_tokenization"))
+                .exists(_.asBoolean(false)))
+          case None => graft.sources.TokenSink.tokenIds(col("content"),
+            vocabSize = Option(t.get("vocab_size")).map(_.asInt()).getOrElse(1 << 16))
+        }
+        val bpt = Option(t.get("bytes_per_token")).map(_.asInt()).getOrElse(2)
+        // writeShards returns a LAZY side-effecting frame — checkpoint it
+        // so the downstream metadata write / reshard / export never
+        // re-run the shard-writing tasks
+        val meta = graft.sources.TokenSink.writeShards(
+          docsOut.withColumn("__toks", toks), col("id"), col("__toks"),
+          dest + "/shards", bytesPerToken = bpt,
+          numShards = Option(t.get("num_shards")).map(_.asInt()).getOrElse(0),
+          targetTokensPerShard = Option(t.get("target_tokens_per_shard"))
+            .map(_.asLong()).getOrElse(512L * 1024 * 1024)).localCheckpoint()
+        val minBytes = Option(t.get("min_shard_size_bytes")).map(_.asLong()).getOrElse(0L)
+        val (finalMeta, shardDir) =
+          if (minBytes > 0)
+            (graft.sources.TokenSink.reshard(spark, dest + "/shards", meta,
+              dest + "/resharded", minBytes, bpt).localCheckpoint(),
+              dest + "/resharded")
+          else (meta, dest + "/shards")
+        finalMeta.write.mode("overwrite").parquet(dest + "/metadata")
+        // optional dolma on-disk layout (.npy + .csv.gz sidecars) readable
+        // by the reference's own downstream consumers
+        if (Option(t.get("dolma_layout")).exists(_.asBoolean(false)))
+          graft.sources.TokenSink.exportDolmaLayout(shardDir, finalMeta, dest + "/dolma")
+      }
 
     // ledger commit: the pending input files, at file grain (idempotent
     // append; rows_written records this run's total)

@@ -29,7 +29,8 @@ final class HfTokenizer(
     normOps: List[(String, String, String)] = Nil,
     byteFallback: Boolean = false,
     addedTokens: Vector[(String, Int)] = Vector.empty,
-    unkId: Option[Int] = None) extends Serializable {
+    unkId: Option[Int] = None,
+    val hasPrefix: Boolean = false) extends Serializable {
 
   def vocabSize: Int = vocab.size
 
@@ -195,6 +196,30 @@ final class HfTokenizer(
 
   def countTokens(text: String): Int = encode(text).length
 
+  /** Paragraph-segmented encoding (tokenizer.py:283-311,
+    * `segment_before_tokenization=True`): split the document into
+    * `(^\n*|\n+)[^\n]*` paragraphs, encode each independently, and
+    * concatenate. Prefix-adding tokenizers would re-prefix every
+    * paragraph, changing the ids at paragraph seams — so each paragraph
+    * after the first is encoded with a sacrificial leading space whose
+    * (single) token is dropped at merge time. The reference uses this to
+    * parallelize tokenization within a document; its tests pin segmented
+    * == unsegmented on every fixture, and [[HfTokenizerGoldenSpec]]
+    * replays that equality here. */
+  def encodeSegmented(text: String): Array[Int] = {
+    if (text.isEmpty) return Array.empty
+    val paras = "(^\\n*|\\n+)[^\\n]*".r.findAllMatchIn(text).map(_.matched).toVector
+    if (paras.length <= 1) return encode(text)
+    val out = new mutable.ArrayBuffer[Int]
+    paras.zipWithIndex.foreach { case (p, i) =>
+      val ids =
+        if (hasPrefix && i > 0) encode(" " + p).drop(1)
+        else encode(p)
+      out ++= ids
+    }
+    out.toArray
+  }
+
   /** Insert bos / append eos when configured and not already present —
     * the reference wrapper's semantics (tokenizer.py:248-261), which it
     * applies OVER the base encoding (its post-processor templates are
@@ -221,7 +246,7 @@ final class HfTokenizer(
       val ByteTok = "<0x([0-9A-Fa-f]{2})>".r
       toks.foreach {
         case ByteTok(h) => bytes.write(Integer.parseInt(h, 16))
-        case t => bytes.write(t.replace('▁', ' ').getBytes("UTF-8"))
+        case t => bytes.write(t.replace('\u2581', ' ').getBytes("UTF-8"))
       }
       val s = new String(bytes.toByteArray, "UTF-8")
       if (s.startsWith(" ")) s.substring(1) else s
@@ -322,8 +347,16 @@ object HfTokenizer {
       t.get("content").asText() -> t.get("id").asInt()
     }.toVector.sortBy(-_._1.length)).getOrElse(Vector.empty)
     val fullVocab = vocab ++ added.filterNot { case (t, _) => vocab.contains(t) }
+    // tokenizer_has_prefix (tokenizer.py:124-151): any pre-tokenizer with
+    // add_prefix_space, or any Prepend normalizer
+    def anyPrefixSpace(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      n != null && !n.isNull && (
+        Option(n.get("add_prefix_space")).exists(_.asBoolean(false)) ||
+          Option(n.get("pretokenizers")).exists(_.elements().asScala.exists(anyPrefixSpace)))
+    val hasPrefix = anyPrefixSpace(preNode) ||
+      normOps.exists(_._1 == "Prepend")
     new HfTokenizer(fullVocab, fullVocab.map(_.swap), merges, pretokKind,
-      normOps, byteFallback, added, unkId)
+      normOps, byteFallback, added, unkId, hasPrefix)
   }
 
   def load(path: String): HfTokenizer =

@@ -65,11 +65,13 @@ object TokenSink {
     * model loads once per executor from `vocabPath` (cached), so only
     * the path string rides the closure. */
   def hfTokenIds(textCol: Column, vocabPath: String,
-      eosId: Option[Int] = None): Column = {
+      eosId: Option[Int] = None, bosId: Option[Int] = None,
+      segment: Boolean = false): Column = {
     val enc = org.apache.spark.sql.functions.udf((s: String) => {
-      val ids = graft.ml.HfTokenizer.loadCached(vocabPath)
-        .encode(if (s == null) "" else s)
-      eosId.map(ids :+ _).getOrElse(ids)
+      val tok = graft.ml.HfTokenizer.loadCached(vocabPath)
+      val text = if (s == null) "" else s
+      val base = if (segment) tok.encodeSegmented(text) else tok.encode(text)
+      tok.addSpecialTokens(base, bosId, eosId)
     })
     enc(textCol)
   }
@@ -226,6 +228,65 @@ object TokenSink {
       .select(col("id"), col("__new_shard").as("shard"),
         (col("start") + col("__shift")).as("start"),
         (col("end") + col("__shift")).as("end"))
+  }
+
+  /** Export a TokenSink directory in the reference's on-disk layout so
+    * dolma's own downstream consumers (the OLMo data loader,
+    * `dolma.tokenizer.reshard`) can read it directly: per shard a
+    * `<stem>.npy` token file plus a `<stem>.csv.gz` metadata sidecar with
+    * `start,end,id,src,pos` rows ordered by start
+    * (memmap_writer.py:23-24,81-92; MemmapMetadata in data_types.py:45-50).
+    * The `.npy` name notwithstanding, the reference writes via `np.memmap`
+    * — a RAW little-endian buffer with no numpy header — which is exactly
+    * [[writeShards]]' byte format, so the export is a stream copy.
+    *
+    * `src`/`pos` (originating file + position) are taken from metadata
+    * columns of those names when present, else stamped with the shard name
+    * and the document's ordinal within the shard.
+    *
+    * Scale shape: one task per shard (groupByKey on the shard name); each
+    * task streams the copy and writes its own sidecar — no driver I/O. */
+  def exportDolmaLayout(srcDir: String, metadata: DataFrame, destDir: String): Unit = {
+    val spark = metadata.sparkSession
+    import spark.implicits._
+    val hasSrc = metadata.columns.contains("src")
+    val hasPos = metadata.columns.contains("pos")
+    val rows = metadata.select(col("shard"), col("id"), col("start"), col("end"),
+      (if (hasSrc) col("src") else col("shard")).cast("string").as("src"),
+      (if (hasPos) col("pos") else lit(-1L)).cast("long").as("pos"))
+      .as[(String, String, Long, Long, String, Long)]
+    val from = srcDir
+    rows.groupByKey(_._1).flatMapGroups { (shard, it) =>
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val stem = shard.replaceAll("\\.bin$", "")
+      val npyPath = new org.apache.hadoop.fs.Path(destDir, s"$stem.npy")
+      val fs = npyPath.getFileSystem(conf)
+      val out = new java.io.BufferedOutputStream(fs.create(npyPath, true), 1 << 16)
+      try {
+        val in = fs.open(new org.apache.hadoop.fs.Path(from, shard))
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      } finally out.close()
+      val csvPath = new org.apache.hadoop.fs.Path(destDir, s"$stem.csv.gz")
+      val gz = new java.util.zip.GZIPOutputStream(fs.create(csvPath, true))
+      val w = new java.io.OutputStreamWriter(gz, "UTF-8")
+      try {
+        it.toVector.sortBy(_._3).zipWithIndex.foreach {
+          case ((_, id, start, end, src, pos), ordinal) =>
+            val p = if (pos >= 0) pos else ordinal.toLong
+            // the reference's csv.writer quotes only when needed; ids/srcs
+            // here are digests/paths without commas or quotes
+            w.write(s"$start,$end,$id,$src,$p\r\n")
+        }
+      } finally w.close()
+      Iterator.single(shard)
+    }.collect()
+    ()
   }
 
   /** Read one shard back as token ids (test/audit path). */

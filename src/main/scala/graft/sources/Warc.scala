@@ -298,7 +298,8 @@ object Warc {
       postTaggers: Seq[String] = Nil,
       skipNoPreTaggers: Boolean = false,
       skipNoPostTaggers: Boolean = false,
-      storeHtml: Boolean = false): DataFrame = {
+      storeHtml: Boolean = false,
+      keepWarcFile: Boolean = false): DataFrame = {
     val withText = records
       .filter(length(col("html")) > 0)
       // is_valid (record_info.py:42-49): records missing a payload digest
@@ -355,7 +356,7 @@ object Warc {
       "content_type", "uncompressed_offset") ++
       (if (storeHtml) Seq("html") else Nil)
     val attrsCol = map_concat(col("__pre_attrs"), col("__post_attrs"))
-    filtered.select(
+    filtered.select(Seq(
       // payload_id (record_info.py:28): the digest value after the
       // algorithm prefix, lowercased — "sha1:B64…" → "b64…".
       lower(regexp_replace(col("payload_digest"), "^[^:]*:", "")).as("id"),
@@ -368,7 +369,11 @@ object Warc {
       dolmaTimestamp(lit(null).cast("string")).as("added"),
       map(metaNames.zip(metaCols).flatMap { case (n, c) => Seq(lit(n), c) }: _*)
         .as("metadata"),
-      attrsCol.as("attributes"))
+      attrsCol.as("attributes")) ++
+      // provenance seam for the config runner: the originating .warc file
+      // (file-grain resume + provenance stamping need it; the RDD-backed
+      // frame has no input_file_name())
+      (if (keepWarcFile) Seq(col("warc_file").as("__warc_file")) else Nil): _*)
   }
 
   /** Dolma's near-ISO-8601 timestamp (processor.py:46-50): millisecond
@@ -419,15 +424,64 @@ object Linearizer {
   // table cells separate with a space so row text doesn't fuse
   private val CellTags = Set("td", "th")
 
-  private val NamedEntities = Map(
-    "nbsp" -> " ", "amp" -> "&", "lt" -> "<", "gt" -> ">",
-    "quot" -> "\"", "apos" -> "'", "hellip" -> "\u2026",
-    "mdash" -> "\u2014", "ndash" -> "\u2013", "rsquo" -> "\u2019",
-    "lsquo" -> "\u2018", "ldquo" -> "\u201c", "rdquo" -> "\u201d",
-    "copy" -> "\u00a9", "reg" -> "\u00ae", "trade" -> "\u2122",
-    "middot" -> "\u00b7", "bull" -> "\u2022", "laquo" -> "\u00ab",
-    "raquo" -> "\u00bb", "shy" -> "", "times" -> "\u00d7",
-    "divide" -> "\u00f7", "deg" -> "\u00b0", "plusmn" -> "\u00b1")
+  // The full HTML4 named-entity set (the W3C HTML 4.01 DTDs: Latin-1
+  // block 160-255 in DTD order, plus the symbol/Greek and special
+  // blocks), so accented text on real pages decodes instead of leaving
+  // `&eacute;` residue in the linearized output. `shy` (soft hyphen)
+  // deliberately maps to "" \u2014 it's an invisible break hint.
+  private val Latin1EntityNames: Array[String] = Array(
+    // 160..255, "" = covered by the explicit map (shy) or unnamed
+    "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+    "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr",
+    "deg", "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot",
+    "cedil", "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig", "Ccedil",
+    "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc", "Iuml",
+    "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml", "times",
+    "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute", "THORN", "szlig",
+    "agrave", "aacute", "acirc", "atilde", "auml", "aring", "aelig", "ccedil",
+    "egrave", "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+    "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "divide",
+    "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+
+  private val NamedEntities: Map[String, String] = {
+    val base = Map(
+      "amp" -> "&", "lt" -> "<", "gt" -> ">",
+      "quot" -> "\"", "apos" -> "'", "hellip" -> "\u2026",
+      "mdash" -> "\u2014", "ndash" -> "\u2013", "rsquo" -> "\u2019",
+      "lsquo" -> "\u2018", "ldquo" -> "\u201c", "rdquo" -> "\u201d",
+      "sbquo" -> "\u201a", "bdquo" -> "\u201e", "dagger" -> "\u2020",
+      "Dagger" -> "\u2021", "permil" -> "\u2030", "lsaquo" -> "\u2039",
+      "rsaquo" -> "\u203a", "trade" -> "\u2122", "bull" -> "\u2022",
+      "prime" -> "\u2032", "Prime" -> "\u2033", "oline" -> "\u203e",
+      "frasl" -> "\u2044", "euro" -> "\u20ac", "ensp" -> "\u2002",
+      "emsp" -> "\u2003", "thinsp" -> "\u2009", "zwnj" -> "\u200c",
+      "zwj" -> "\u200d", "lrm" -> "\u200e", "rlm" -> "\u200f",
+      "OElig" -> "\u0152", "oelig" -> "\u0153", "Scaron" -> "\u0160",
+      "scaron" -> "\u0161", "Yuml" -> "\u0178", "fnof" -> "\u0192",
+      "circ" -> "\u02c6", "tilde" -> "\u02dc",
+      "larr" -> "\u2190", "uarr" -> "\u2191", "rarr" -> "\u2192",
+      "darr" -> "\u2193", "harr" -> "\u2194", "infin" -> "\u221e",
+      "ne" -> "\u2260", "le" -> "\u2264", "ge" -> "\u2265",
+      "minus" -> "\u2212", "lowast" -> "\u2217", "radic" -> "\u221a",
+      "sum" -> "\u2211", "prod" -> "\u220f", "int" -> "\u222b",
+      "asymp" -> "\u2248", "equiv" -> "\u2261", "loz" -> "\u25ca",
+      "spades" -> "\u2660", "clubs" -> "\u2663", "hearts" -> "\u2665",
+      "diams" -> "\u2666", "shy" -> "")
+    val greekLower = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigmaf sigma tau upsilon phi chi psi omega"
+      .split(' ').zipWithIndex.map { case (n, i) =>
+        // U+03B1.. with sigmaf U+03C2 folded into the run at index 17
+        n -> String.valueOf((0x3b1 + i).toChar)
+      }
+    val greekUpper = "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa Lambda Mu Nu Xi Omicron Pi Rho XXX Sigma Tau Upsilon Phi Chi Psi Omega"
+      .split(' ').zipWithIndex.collect { case (n, i) if n != "XXX" =>
+        n -> String.valueOf((0x391 + i).toChar)
+      }
+    val latin1 = Latin1EntityNames.zipWithIndex.collect {
+      case (n, i) if n != "shy" => n -> String.valueOf((160 + i).toChar)
+    }
+    base ++ latin1 ++ greekLower ++ greekUpper
+  }
   private val EntityRe =
     java.util.regex.Pattern.compile("&(#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);")
 

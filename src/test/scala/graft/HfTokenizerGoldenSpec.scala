@@ -72,6 +72,18 @@ class HfTokenizerGoldenSpec extends AnyFunSuite {
     assert(tok.get.decode(tok.get.encode(withNewlines).toSeq) == withNewlines)
   }
 
+  test("segment_before_tokenization == plain encoding (test_tokenizer.py:76-123)") {
+    // the reference pins split == no-split on every fixture/probe pair;
+    // llama exercises the prefix-space compensation (tokenizer_has_prefix
+    // via its Prepend normalizer), gpt-neo the no-prefix path
+    for (f <- Seq("llama-test-tokenizer.json", "gpt-neo-test-tokenizer.json");
+         tok <- fixture(f); s <- Seq(noNewlines, withNewlines, newlineStart)) {
+      assert(tok.encodeSegmented(s).toSeq == tok.encode(s).toSeq, s"$f on ${s.take(20)}")
+    }
+    assert(fixture("llama-test-tokenizer.json").forall(_.hasPrefix))
+    assert(fixture("gpt-neo-test-tokenizer.json").forall(!_.hasPrefix))
+  }
+
   test("bos/eos insertion is idempotent (tokenizer.py:255-259)") {
     val tok = fixture("gpt-neo-test-tokenizer.json")
     assume(tok.isDefined)

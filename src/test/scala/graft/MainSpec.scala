@@ -187,4 +187,96 @@ class MainSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("snapshot"))
   }
+
+  test("input format=warc: dolma-warc extraction feeds the pipeline, warc attrs drive filters") {
+    val dir = Files.createTempDirectory("graft-main-warc").toString
+    def rec(uri: String, body: String): Array[Byte] = {
+      val html = s"<html><body><p>$body</p></body></html>"
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      val payload = (http + html).getBytes("ISO-8859-1")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
+        s"WARC-Target-URI: http://$uri/\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Payload-Digest: sha1:${uri.toUpperCase.filter(_.isLetterOrDigit)}\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes
+    }
+    Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      rec("longdoc", "x" * 80) ++ rec("shortdoc", "tiny"))
+
+    val config =
+      s"""{
+         |  "input": {"format": "warc", "path": "$dir/a.warc",
+         |            "source_name": "cc-main",
+         |            "post_taggers": ["char_length_v1"]},
+         |  "taggers": [],
+         |  "filter": {"exclude": [
+         |    "$$.attributes.char_length_v1__char_length_v1__length[0][2] > 30"]},
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+
+    val out = spark.read.parquet(s"$dir/out")
+    val rows = out.collect()
+    // the 80-char page is excluded by the warc tagger's attribute; only
+    // the short page survives, in full dolma document shape
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("content") == "tiny")
+    assert(r.getAs[String]("source") == "cc-main")
+    assert(r.getAs[Map[String, String]]("metadata")("url") == "shortdoc")
+    assert(r.getAs[String]("provenance").startsWith("a.warc:"))
+  }
+
+  test("tokens stage: config-driven tokenize -> shards + metadata + dolma layout") {
+    val dir = Files.createTempDirectory("graft-main-tok").toString
+    graft.sources.CodeDocs.generate(spark, 80L).toDF()
+      .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
+      .write.parquet(s"$dir/input")
+    // trivial byte vocab with shifted ids: token count of a text == its
+    // UTF-8 byte length, so the stage is analytically checkable; eos id
+    // 300 is outside the byte range and must appear exactly once per doc
+    val vocabPath = s"$dir/vocab.json"
+    Files.write(java.nio.file.Paths.get(vocabPath),
+      graft.ml.HfTokenizer.trivialByteVocabJson(b => b + 1).getBytes("UTF-8"))
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input",
+         |            "id": "id", "text": "content"},
+         |  "taggers": ["char_length_v1"],
+         |  "experiment": "e",
+         |  "output": {"path": "$dir/out", "format": "parquet"},
+         |  "tokens": {"destination": "$dir/tokens",
+         |             "tokenizer": {"path": "$vocabPath", "eos_token_id": 300},
+         |             "bytes_per_token": 4, "num_shards": 3,
+         |             "dolma_layout": true}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+
+    val out = spark.read.parquet(s"$dir/out")
+    val meta = spark.read.parquet(s"$dir/tokens/metadata")
+    assert(meta.count() == out.count())
+    // range length = byte length + eos for every doc
+    import spark.implicits._
+    val byId = out.select(col("id"),
+      octet_length(col("content")).cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    meta.select(col("id"), (col("end") - col("start")).as("len"))
+      .as[(String, Long)].collect().foreach { case (id, len) =>
+        assert(len == byId(id) + 1, id)
+      }
+    // shard decode: the eos id (outside the shifted byte range) appears
+    // exactly once per document in the shard
+    val shard = meta.select(col("shard")).head().getString(0)
+    val ids = graft.sources.TokenSink.readShard(spark, s"$dir/tokens/shards",
+      shard, bytesPerToken = 4)
+    assert(ids.count(_ == 300) ==
+      meta.filter(col("shard") === shard).count())
+    // dolma layout: one .npy + .csv.gz per shard, npy byte-identical
+    val stem = shard.stripSuffix(".bin")
+    val rawBytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/tokens/shards", shard))
+    val npyBytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/tokens/dolma", s"$stem.npy"))
+    assert(java.util.Arrays.equals(rawBytes, npyBytes))
+    assert(Files.exists(java.nio.file.Paths.get(s"$dir/tokens/dolma", s"$stem.csv.gz")))
+  }
 }

@@ -139,4 +139,38 @@ class TokenSinkSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("dolma-layout export: .npy byte-identical, .csv.gz sidecar rows match metadata") {
+    val dir = Files.createTempDirectory("graft-tokens-dolma-src").toString
+    val dest = Files.createTempDirectory("graft-tokens-dolma-out").toString
+    val docs = (0 until 60).map(i => (s"doc$i", s"alpha b$i gamma"))
+      .toDF("id", "text")
+      .withColumn("toks", TokenSink.tokenIds(col("text"), vocabSize = 4096))
+    val meta = TokenSink.writeShards(docs, col("id"), col("toks"), dir, numShards = 3)
+    meta.cache(); meta.count()
+    TokenSink.exportDolmaLayout(dir, meta, dest)
+    val rows = meta.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    rows.groupBy(_._2).foreach { case (shard, ms) =>
+      val stem = shard.stripSuffix(".bin")
+      // raw-memmap parity: the .npy copy is byte-identical to the shard
+      val orig = Files.readAllBytes(java.nio.file.Paths.get(dir, shard))
+      val npy = Files.readAllBytes(java.nio.file.Paths.get(dest, s"$stem.npy"))
+      assert(java.util.Arrays.equals(orig, npy), s"$shard bytes differ")
+      // sidecar: start,end,id,src,pos rows ordered by start (csv.writer
+      // excel dialect line ends)
+      val gz = new java.util.zip.GZIPInputStream(
+        Files.newInputStream(java.nio.file.Paths.get(dest, s"$stem.csv.gz")))
+      val text = new String(gz.readAllBytes(), "UTF-8")
+      gz.close()
+      val lines = text.split("\r\n").filter(_.nonEmpty)
+      assert(lines.length == ms.length)
+      val expected = ms.sortBy(_._3)
+      lines.zip(expected).zipWithIndex.foreach {
+        case ((line, (id, _, s, e)), ordinal) =>
+          assert(line == s"$s,$e,$id,$shard,$ordinal")
+      }
+    }
+    meta.unpersist()
+  }
 }

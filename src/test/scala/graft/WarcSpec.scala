@@ -118,6 +118,10 @@ class WarcSpec extends AnyFunSuite {
     val t = Linearizer.linearize(
       "<p>caf&#233; &amp; r&#xE9;sum&#xe9; &mdash; 5&deg; &hellip; &unknown; &copy;</p>")
     assert(t == "café & résumé — 5° … &unknown; ©")
+    // full HTML4 set: Latin-1 accents, Greek, symbols, typography
+    val t2 = Linearizer.linearize(
+      "<p>caf&eacute; se&ntilde;or &Uuml;ber &alpha;&beta;&Omega; &euro;5 &le;&infin; &OElig;uvre&shy;s</p>")
+    assert(t2 == "café señor Über αβΩ €5 ≤∞ Œuvres")
   }
 
   test("linearizer: quoted '>' in attributes and hidden subtrees") {
