@@ -686,6 +686,23 @@ object SparkEntry {
           octet_length(col("content")).cast("long").as("content_bytes"))
     }),
 
+    // fastText training-set builder (ft_dataset.py): en docs are the
+    // positive class, every other language the negative class, paragraph
+    // granularity (newlines injected at sentence ends), newlines=replace,
+    // 400 lines per class selected deterministically by md5 — the whole
+    // segment/label/cap surface is replayed in SQL
+    "ft_dataset_build" -> ((s, dir) => {
+      val d = docs(s, dir).filter(length(col("text")) > 0)
+        .withColumn("text2", regexp_replace(col("text"), "\\. ", ".\n"))
+      graft.ml.FtDataset.build(
+        target = d.filter(col("lang") === "en"),
+        samples = Seq(d.filter(col("lang") === "zh"),
+          d.filter(col("lang") =!= "en" && col("lang") =!= "zh")),
+        textCol = col("text2"),
+        mode = graft.ml.FtDataset.ParagraphLevel, newlines = "replace",
+        nSegmentsPerClass = Some(400L))
+    }),
+
     // language ID over planted-language texts: the in-repo fastText model
     // must recover the planted language exactly, which the oracle replays
     // as doc_id arithmetic (real model inference, decidable ground truth)
@@ -1517,6 +1534,28 @@ object SparkEntry {
           |SELECT least(a.doc_id, b.doc_id) AS id_a,
           |       greatest(a.doc_id, b.doc_id) AS id_b
           |FROM d a JOIN d b ON a.t = b.t AND a.doc_id < b.doc_id""".stripMargin,
+
+      // ft_dataset.py replay: paragraph slices keep their terminating
+      // newline (utils.py:92-98), so newlines=replace maps every non-final
+      // paragraph to "part + space"; whitespace-only paragraphs drop; the
+      // per-class cap is the n smallest lines by md5
+      "ft_dataset_build" ->
+        """WITH t AS (SELECT lang, replace(text, '. ', '.' || chr(10)) AS text2
+          |           FROM documents WHERE length(text) > 0),
+          |s AS (SELECT lang,
+          |        unnest(string_split(text2, chr(10))) AS part,
+          |        unnest(range(len(string_split(text2, chr(10))))) AS idx,
+          |        len(string_split(text2, chr(10))) AS n
+          |      FROM t),
+          |k AS (SELECT lang,
+          |        CASE WHEN idx < n - 1 THEN part || ' ' ELSE part END AS segtext
+          |      FROM s
+          |      WHERE trim(part, ' ' || chr(9) || chr(10) || chr(13)) <> ''),
+          |pos AS (SELECT 'pos' AS label, '__label__pos ' || segtext AS line
+          |        FROM k WHERE lang = 'en' ORDER BY md5(line) LIMIT 400),
+          |neg AS (SELECT 'neg' AS label, '__label__neg ' || segtext AS line
+          |        FROM k WHERE lang <> 'en' ORDER BY md5(line) LIMIT 400)
+          |SELECT label, line FROM pos UNION ALL SELECT label, line FROM neg""".stripMargin,
 
       // planted-language texts: the model must recover the plant exactly
       "langid_fasttext" ->
