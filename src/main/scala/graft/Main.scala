@@ -28,6 +28,9 @@ import scala.jdk.CollectionConverters._
   *   // "post_taggers" (on linearized text), "skip_no_pre_taggers",
   *   // "skip_no_post_taggers", "store_html_in_metadata".
   *   "taggers": ["gopher_v2", "pii_regex_with_counts_fast_v2"],
+  *   "tagger_modules": ["com.example.MyTaggers"],  // optional: custom
+  *               // tagger classes/objects on the --jars classpath
+  *               // (reference `taggers_modules` / import_modules)
   *   "experiment": "exp",
   *   "dedupe":  {"enabled": true, "mode": "documents|paragraphs|ngrams",
   *               "attribute_name": "duplicate_paragraphs",
@@ -182,6 +185,14 @@ object Main {
         .getOrElse(Seq.empty)
     def flag(n: JsonNode, f: String): Boolean =
       Option(n.get(f)).exists(_.asBoolean(false))
+    // "tagger_modules" mirrors the reference's `taggers_modules` config
+    // (cli/tagger.py + core/utils.py import_modules): fully-qualified
+    // class/object names that register custom taggers — imported on the
+    // driver for fail-fast name resolution AND threaded into every
+    // tagging task so executor JVMs import them before resolving.
+    val taggerModules = Option(cfg.get("tagger_modules"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    graft.taggers.TaggerRegistry.importModules(taggerModules)
     val docs =
       if (isWarc) {
         graft.sources.Warc.extractDocuments(raw,
@@ -191,7 +202,8 @@ object Main {
           skipNoPreTaggers = flag(input, "skip_no_pre_taggers"),
           skipNoPostTaggers = flag(input, "skip_no_post_taggers"),
           storeHtml = flag(input, "store_html_in_metadata"),
-          keepWarcFile = true)
+          keepWarcFile = true,
+          taggerModules = taggerModules)
           .withColumnRenamed("text", "content")
           .withColumnRenamed("attributes", "__warc_attrs")
           .withColumnRenamed("__warc_file", "__file")
@@ -211,7 +223,9 @@ object Main {
       .getOrElse(Seq.empty)
     val experiment = opt(cfg, "experiment").getOrElse("exp")
     val attrs =
-      if (taggers.nonEmpty) Some(TagRunner.tag(docs, taggers, experiment)) else None
+      if (taggers.nonEmpty)
+        Some(TagRunner.tag(docs, taggers, experiment, taggerModules = taggerModules))
+      else None
 
     // attribute sink: when requested, write ONCE and merge from the
     // written files so the tagger battery never evaluates twice

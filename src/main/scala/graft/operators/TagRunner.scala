@@ -55,10 +55,12 @@ object TagRunner {
       idCol: String = "id",
       textCol: String = "content",
       metaCols: Seq[String] = Nil,
-      roundScores: Boolean = true): DataFrame = {
+      roundScores: Boolean = true,
+      taggerModules: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val cols = (Seq(idCol, textCol) ++ metaCols).map(col)
     val names = taggerNames // serialize the names, resolve per partition
+    val modules = taggerModules
     val metaNames = metaCols
     val round = roundScores
     val exp = experiment
@@ -70,7 +72,9 @@ object TagRunner {
 
     df.select(cols: _*).mapPartitions { rows =>
       // per-partition tagger instantiation: compiled regexes / model
-      // weights are built once per task, not per row
+      // weights are built once per task, not per row; user modules load
+      // in THIS executor JVM before any name resolves
+      TaggerRegistry.importModules(modules)
       val taggers = names.map(TaggerRegistry.resolve)
       rows.map { row =>
         docCounter.add(1L)
@@ -110,8 +114,10 @@ object TagRunner {
       textCol: String = "content",
       metaCols: Seq[String] = Nil,
       roundScores: Boolean = true,
-      outputCol: String = "attributes"): DataFrame = {
+      outputCol: String = "attributes",
+      taggerModules: Seq[String] = Nil): DataFrame = {
     val names = taggerNames
+    val modules = taggerModules
     val metaNames = metaCols
     val round = roundScores
     val exp = experiment
@@ -124,6 +130,7 @@ object TagRunner {
     val docCounter = newDocCounter(df.sparkSession)
 
     df.mapPartitions { rows =>
+      TaggerRegistry.importModules(modules)
       val taggers = names.map(TaggerRegistry.resolve)
       rows.map { row =>
         docCounter.add(1L)

@@ -299,7 +299,8 @@ object Warc {
       skipNoPreTaggers: Boolean = false,
       skipNoPostTaggers: Boolean = false,
       storeHtml: Boolean = false,
-      keepWarcFile: Boolean = false): DataFrame = {
+      keepWarcFile: Boolean = false,
+      taggerModules: Seq[String] = Nil): DataFrame = {
     val withText = records
       .filter(length(col("html")) > 0)
       // is_valid (record_info.py:42-49): records missing a payload digest
@@ -322,7 +323,7 @@ object Warc {
       val cols = taggers.zipWithIndex.map { case (t, i) =>
         val c = s"__${out}_$i"
         d = TagRunner.withAttributes(d, Seq(t), t, textCol = textCol,
-          metaCols = tagMeta, outputCol = c)
+          metaCols = tagMeta, outputCol = c, taggerModules = taggerModules)
         c
       }
       val merged =

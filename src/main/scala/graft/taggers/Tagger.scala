@@ -17,9 +17,58 @@ trait Tagger extends Serializable {
   def predict(text: String, meta: Map[String, String] = Map.empty): Vector[Span]
 }
 
+/** A user extension point: a class (or Scala `object`) that registers
+  * custom taggers — the JVM analog of a reference "extra taggers" module
+  * (tests/python/test_extra.py's `extras_*` packages, each of which
+  * registers taggers at import time). */
+trait TaggerModule {
+  def register(): Unit
+}
+
 /** Name → tagger resolution (reference `TaggerRegistry.add/get`). */
 object TaggerRegistry {
   private val taggers = TrieMap.empty[String, () => Tagger]
+  private val importedModules = TrieMap.empty[String, Unit]
+
+  /** JVM analog of the reference's `import_modules`
+    * (core/utils.py:118-160, exercised by tests/python/test_extra.py):
+    * load user tagger modules by fully-qualified class or Scala-object
+    * name, so configs can use custom taggers without touching the engine.
+    * A Scala `object` registers in its initializer (forced here); a class
+    * implementing [[TaggerModule]] is instantiated and `register()`
+    * called; any other class may register from its constructor.
+    * Import-once memoized per JVM, like the reference (utils.py:139-147).
+    * The reference's import-by-file-path form has no JVM analog — user
+    * code ships as a jar on the Spark classpath (`--jars`), which is the
+    * deployment story `spark-submit` already owns.
+    *
+    * Resolution happens inside `mapPartitions` tasks, so [[TagRunner]]
+    * threads the module list into every task: each executor JVM imports
+    * the modules before resolving names (the reference re-imports per
+    * worker process the same way, core/runtime.py). */
+  def importModules(modules: Seq[String]): Unit = modules.foreach { m =>
+    importedModules.getOrElseUpdate(m, {
+      val cls =
+        try Class.forName(m + "$") // Scala object form first
+        catch {
+          case _: ClassNotFoundException =>
+            try Class.forName(m)
+            catch {
+              case e: ClassNotFoundException => throw new IllegalArgumentException(
+                s"Could not import tagger module '$m': no such class or object on " +
+                  "the classpath. Package custom taggers as a jar and submit it " +
+                  "with --jars (the reference's import-by-path form has no JVM analog).", e)
+            }
+        }
+      val instance =
+        if (cls.getName.endsWith("$")) cls.getField("MODULE$").get(null)
+        else cls.getDeclaredConstructor().newInstance()
+      instance match {
+        case tm: TaggerModule => tm.register()
+        case _ => () // initializer/constructor side effects did the work
+      }
+    })
+  }
 
   /** Reference registry names this engine deliberately does NOT implement,
     * each mapped to (implemented equivalent, scope-out rationale). The
