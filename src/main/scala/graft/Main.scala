@@ -52,6 +52,10 @@ import scala.jdk.CollectionConverters._
   *               "min_shard_size_bytes": 0,    // >0 -> reshard pass
   *               "dolma_layout": false},       // .npy + .csv.gz export
   *   "attributes_output": "...",   // optional
+  *   "attributes_input": ["path", {"path": "...", "format": "jsonl"}],
+  *               // optional: merge attribute tables written by EARLIER
+  *               // tag runs (the reference's split tag-then-mix
+  *               // workflow); later entries win on duplicate keys
   *   "metrics_output": "...",      // optional: lineage + rule metrics
   *   "ledger": "..."               // optional: resume checkpoint
   * }
@@ -242,6 +246,31 @@ object Main {
       }
     }
 
+    // pre-existing attribute tables — the reference's SPLIT workflow
+    // (`dolma tag` writes attribute files, a later `dolma mix` run joins
+    // them back by id, src/shard.rs:288-365): each "attributes_input"
+    // entry is a path string (format inferred from the extension) or
+    // {"path", "format": "parquet|jsonl|table"}. jsonl reads the dolma
+    // triple format; parquet reads this engine's attributes_output.
+    // Merge order mirrors the reference (later files win on duplicate
+    // keys, shard.rs:322): loaded tables first, then this run's taggers.
+    val attrsLoaded = Option(cfg.get("attributes_input"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { n =>
+        val (path, fmt) =
+          if (n.isTextual) {
+            val p = n.asText()
+            val f = if (p.matches(".*\\.jsonl?(\\.(gz|zst|zstd))?$")) "jsonl"
+                    else "parquet"
+            (p, f)
+          } else (n.get("path").asText(),
+            Option(n.get("format")).map(_.asText()).getOrElse("parquet"))
+        fmt match {
+          case "jsonl" => graft.sources.Jsonl.readAttributes(spark, path)
+          case "table" => spark.read.table(path)
+          case _ => spark.read.parquet(path)
+        }
+      }
+
     // dedupe: "documents" (exact first-occurrence flag), or the dolma
     // attribute-emitting modes "paragraphs" / "ngrams" whose duplicate
     // spans flow into the mixer like any other attribute (drop them with
@@ -275,7 +304,8 @@ object Main {
           map(lit(dedupAttrName), col("spans")).as("attributes")))
       }
 
-    var withAttrs = Mixer.mergeAttributes(docs, attrsForMerge.toSeq ++ dedupAttr)
+    var withAttrs = Mixer.mergeAttributes(docs,
+      attrsLoaded ++ attrsForMerge.toSeq ++ dedupAttr)
     // fold the WARC extraction's own attributes in (they were computed in
     // the same scan; later maps win on duplicate keys, like mergeAttributes)
     if (isWarc) {

@@ -279,4 +279,66 @@ class MainSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(rawBytes, npyBytes))
     assert(Files.exists(java.nio.file.Paths.get(s"$dir/tokens/dolma", s"$stem.csv.gz")))
   }
+
+  test("attributes_input: a later mix-only run joins an earlier tag run's attributes") {
+    val dir = Files.createTempDirectory("graft-split").toString
+    graft.sources.CodeDocs.generate(spark, 120L).toDF()
+      .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
+      .write.parquet(s"$dir/input")
+
+    // run 1: tag only (no output filtering), attributes to parquet
+    val tagCfg =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input",
+         |            "id": "id", "text": "content"},
+         |  "taggers": ["char_length_v1"],
+         |  "experiment": "e",
+         |  "output": {"path": "$dir/out1", "format": "parquet"},
+         |  "attributes_output": "$dir/attrs"
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(tagCfg))
+
+    // also exercise the dolma-jsonl attribute format round-trip: re-write
+    // the same attributes as a jsonl tree under a SECOND experiment name
+    val renamed = spark.read.parquet(s"$dir/attrs").select(col("id"),
+      org.apache.spark.sql.functions.map_from_entries(
+        org.apache.spark.sql.functions.transform(
+          org.apache.spark.sql.functions.map_entries(col("attributes")),
+          e => org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.concat(
+              org.apache.spark.sql.functions.lit("j__"), e.getField("key")),
+            e.getField("value")))).as("attributes"))
+    graft.sources.Jsonl.writeAttributes(renamed, s"$dir/attrs_jsonl")
+
+    // run 2: NO taggers — attributes come from run 1's tables; one
+    // exclude rule per loaded table proves BOTH joined (the parquet
+    // experiment drops long docs, the jsonl one drops short docs);
+    // thresholds are the corpus length quartiles so each rule bites
+    val lens = spark.read.parquet(s"$dir/input")
+      .select(length(col("content"))).as[Int].collect().sorted
+    val lo = lens(lens.length / 4)
+    val hi = lens(3 * lens.length / 4)
+    val mixCfg =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input",
+         |            "id": "id", "text": "content"},
+         |  "filter": {"exclude": [
+         |    "$$.attributes.e__char_length_v1__length[0][2] > $hi",
+         |    "$$.attributes.j__e__char_length_v1__length[0][2] < $lo"]},
+         |  "attributes_input": [
+         |    "$dir/attrs",
+         |    {"path": "$dir/attrs_jsonl", "format": "jsonl"}],
+         |  "output": {"path": "$dir/out2", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(mixCfg))
+
+    val input = spark.read.parquet(s"$dir/input")
+    val out = spark.read.parquet(s"$dir/out2")
+    val l = length(col("content"))
+    val expectKept = input.filter(l <= hi && l >= lo).count()
+    val droppedLong = input.filter(l > hi).count()
+    val droppedShort = input.filter(l < lo).count()
+    assert(droppedLong > 0 && droppedShort > 0) // each rule actually bites
+    assert(out.count() == expectKept && expectKept > 0)
+  }
 }
