@@ -32,9 +32,19 @@ import scala.jdk.CollectionConverters._
   *               // tagger classes/objects on the --jars classpath
   *               // (reference `taggers_modules` / import_modules)
   *   "experiment": "exp",
-  *   "dedupe":  {"enabled": true, "mode": "documents|paragraphs|ngrams",
+  *   "dedupe":  {"enabled": true, "mode": "documents|paragraphs|ngrams|bloom",
   *               "attribute_name": "duplicate_paragraphs",
-  *               "ngram": {"length": 8, "stride": 0, "threshold": 0.7}},
+  *               "ngram": {"length": 8, "stride": 0, "threshold": 0.7},
+  *               "bloom_filter": {           // optional: cross-run state
+  *                 // (the reference deduper's Bloom file) — marks docs
+  *                 // whose key is already in PERSISTED state and, unless
+  *                 // read_only, merges this run's keys into a new state
+  *                 // version under "path". mode "bloom" = Bloom only.
+  *                 "path": "...", "read_only": false, "shards": 64,
+  *                 "estimated_doc_count": 1000000,
+  *                 "desired_false_positive_rate": 1e-4,
+  *                 "key": "content_sha|id",
+  *                 "attribute_name": "bff_duplicate"}},
   *   "filter":  {"include": [], "exclude": ["$.attributes.exp__...[0][2] > 0.5"]},
   *   "span_replacement": [{"span": "exp__...__EMAIL_ADDRESS", "min_score": 0.5,
   *                         "replacement": "[EMAIL]"}],
@@ -285,7 +295,7 @@ object Main {
       .getOrElse("duplicate_paragraphs")
 
     val dedupAttr: Option[DataFrame] =
-      if (!dedupEnabled || dedupMode == "documents") None
+      if (!dedupEnabled || dedupMode == "documents" || dedupMode == "bloom") None
       else {
         val spansDf = dedupMode match {
           case "paragraphs" =>
@@ -304,8 +314,60 @@ object Main {
           map(lit(dedupAttrName), col("spans")).as("attributes")))
       }
 
+    // cross-run Bloom dedup state — the reference deduper's Bloom-filter
+    // file (cli/deduper.py bloom_filter block; src/bloom_filter.rs):
+    // probe marks MEMBERSHIP against state persisted by earlier runs, and
+    // unless read_only this run's keys merge into a new state version.
+    // Batch semantics: every copy of a key already in state is marked
+    // (decontamination); within-run first-occurrence labeling is the
+    // window-based "mode": "documents". Probe + state update add up to
+    // two extra passes over the docs — run Bloom dedupe as its own config
+    // (the reference's `dolma dedupe` is its own CLI step for the same
+    // reason).
+    val bloomAttr: Option[DataFrame] =
+      dedupeNode.filter(_ => dedupEnabled)
+        .flatMap(d => Option(d.get("bloom_filter"))).map { b =>
+      import spark.implicits._
+      val statePath = b.get("path").asText()
+      val cfgShards = Option(b.get("shards")).map(_.asInt()).getOrElse(64)
+      val est = Option(b.get("estimated_doc_count")).map(_.asLong()).getOrElse(1000000L)
+      val fp = Option(b.get("desired_false_positive_rate")).map(_.asDouble()).getOrElse(1e-4)
+      val readOnly = Option(b.get("read_only")).exists(_.asBoolean(false))
+      val bloomAttrName = Option(b.get("attribute_name")).map(_.asText())
+        .getOrElse("bff_duplicate")
+      val keyCol = Option(b.get("key")).map(_.asText()) match {
+        case Some("id") => col("id")
+        case _ => sha2(col("content"), 256) // content identity, the BFF default
+      }
+      val keys = docs.select(col("id").cast("string"), keyCol.cast("string"))
+        .as[(String, String)]
+      val existing = graft.dedup.DistributedBloom.loadState(spark, statePath)
+      // probes route by the STATE's shard count, not the config's
+      val hits = existing match {
+        case Some((st, stShards)) =>
+          graft.dedup.DistributedBloom.probeSharded(keys, st, stShards)
+            .toDF("id", "__hit").filter(col("__hit")).select(col("id"))
+        case None => spark.emptyDataset[String].toDF("id")
+      }
+      if (!readOnly) {
+        val shards = existing.map(_._2).getOrElse(cfgShards)
+        val fresh = graft.dedup.DistributedBloom.buildSharded(
+          keys.map(_._2), est, fp, shards)
+        val merged = existing match {
+          case Some((st, _)) => graft.dedup.DistributedBloom.mergeStates(st, fresh)
+          case None => fresh
+        }
+        graft.dedup.DistributedBloom.saveState(merged, statePath, shards)
+      }
+      hits.join(docs.select(col("id"),
+          length(col("content")).cast("long").as("__len")), Seq("id"))
+        .select(col("id"), map(lit(bloomAttrName),
+          array(struct(lit(0L).as("start"), col("__len").as("end"),
+            lit(1.0).as("score")))).as("attributes"))
+    }
+
     var withAttrs = Mixer.mergeAttributes(docs,
-      attrsLoaded ++ attrsForMerge.toSeq ++ dedupAttr)
+      attrsLoaded ++ attrsForMerge.toSeq ++ dedupAttr ++ bloomAttr)
     // fold the WARC extraction's own attributes in (they were computed in
     // the same scan; later maps win on duplicate keys, like mergeAttributes)
     if (isWarc) {

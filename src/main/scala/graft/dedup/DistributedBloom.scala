@@ -75,6 +75,66 @@ object DistributedBloom {
       }.toDS()
   }
 
+  // ---- persisted state (the reference's Bloom filter FILE) -------------
+  // The reference persists its filter as a versioned binary file
+  // (bloom_filter.rs:100-179: magic, seeds, bit array) and re-loads it on
+  // the next run (read_only probing or probe-and-update). The analog here
+  // is the sharded filter TABLE persisted as parquet under versioned
+  // subdirectories (v<millis>-s<shards>): an update writes a NEW version
+  // and never touches the one a concurrent reader is probing; the loader
+  // picks the latest. State size is the filter itself (~2.4 GB per 1e9
+  // keys at FP 1e-4) spread over `shards` rows — never driver-resident.
+
+  /** Latest persisted state under `dir`, with its shard count (parsed
+    * from the version name so probes route identically across runs even
+    * if the caller's config changed). */
+  def loadState(spark: SparkSession, dir: String): Option[(Dataset[(Int, Array[Byte])], Int)] = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val Version = "v(\\d+)-s(\\d+)".r
+    val versions = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case n @ Version(ts, s) => (ts.toLong, s.toInt, n)
+    }
+    versions.sortBy(_._1).lastOption.map { case (_, shards, name) =>
+      (spark.read.parquet(s"$dir/$name").as[(Int, Array[Byte])], shards)
+    }
+  }
+
+  /** Persist `state` as a new version under `dir` (crash-safe: a version
+    * is only visible once its parquet commit succeeds). */
+  def saveState(state: Dataset[(Int, Array[Byte])], dir: String, shards: Int): String = {
+    val version = s"v${System.currentTimeMillis()}-s$shards"
+    state.toDF("_1", "_2").write.mode("error").parquet(s"$dir/$version")
+    version
+  }
+
+  /** OR-merge two sharded filter tables (same shard count and sizing).
+    * One shuffle on the shard id; each task merges its shard's filters. */
+  def mergeStates(a: Dataset[(Int, Array[Byte])],
+      b: Dataset[(Int, Array[Byte])]): Dataset[(Int, Array[Byte])] = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    a.union(b).groupByKey(_._1).mapGroups { (shard, it) =>
+      val filters = it.map(x =>
+        BloomFilter.readFrom(new java.io.ByteArrayInputStream(x._2))).toList
+      val merged =
+        try filters.reduce { (x, y) => x.mergeInPlace(y); x }
+        catch {
+          case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+            throw new IllegalStateException(
+              "Bloom state versions are incompatible (estimated_doc_count / " +
+                "desired_false_positive_rate changed between runs, so filter " +
+                "sizes differ). Rebuild the state from scratch or restore the " +
+                "original sizing parameters.", e)
+        }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      (shard, bos.toByteArray)
+    }
+  }
+
   /** Probe (id, key) rows against a sharded filter table: both sides
     * shuffle once on the shard id; each task deserializes exactly its
     * shard's filter. */

@@ -341,4 +341,49 @@ class MainSpec extends AnyFunSuite {
     assert(droppedLong > 0 && droppedShort > 0) // each rule actually bites
     assert(out.count() == expectKept && expectKept > 0)
   }
+
+  test("dedupe mode=bloom: persisted cross-run state drops previously seen docs") {
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    val all = graft.sources.CodeDocs.generate(spark, 100L).toDF()
+      .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
+    all.limit(60).write.parquet(s"$dir/in1")          // run 1: first 60 docs
+    all.write.parquet(s"$dir/in2")                    // run 2: all 100 (60 overlap)
+
+    def cfg(in: String, out: String, extra: String) =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$in", "id": "id", "text": "content"},
+         |  "dedupe": {"enabled": true, "mode": "bloom",
+         |    "bloom_filter": {"path": "$dir/bloom_state",
+         |      "estimated_doc_count": 1000, "shards": 8$extra}},
+         |  "filter": {"exclude": ["$$.attributes.bff_duplicate"]},
+         |  "output": {"path": "$out", "format": "parquet"}
+         |}""".stripMargin
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // run 1: empty state -> nothing marked, all 60 kept; state now holds 60 keys
+    Main.run(spark, om.readTree(cfg(s"$dir/in1", s"$dir/out1", "")))
+    assert(spark.read.parquet(s"$dir/out1").count() == 60)
+    assert(graft.dedup.DistributedBloom.loadState(spark, s"$dir/bloom_state").isDefined)
+
+    // run 2 (read_only): the 60 previously-seen docs are marked and dropped
+    Main.run(spark, om.readTree(cfg(s"$dir/in2", s"$dir/out2", ""","read_only": true""")))
+    val out2 = spark.read.parquet(s"$dir/out2")
+    assert(out2.count() == 40)
+    // the kept docs are exactly the ones run 1 never saw
+    val seen = spark.read.parquet(s"$dir/in1").select("id")
+    assert(out2.join(seen, Seq("id"), "left_semi").count() == 0)
+
+    // read_only left the state at one version
+    val stateDir = new java.io.File(s"$dir/bloom_state")
+    assert(stateDir.listFiles().count(_.getName.startsWith("v")) == 1)
+
+    // run 3 (updating, same input): a second state version appears, sized
+    // compatibly and OR-merged
+    Main.run(spark, om.readTree(cfg(s"$dir/in2", s"$dir/out3", "")))
+    assert(spark.read.parquet(s"$dir/out3").count() == 40)
+    assert(stateDir.listFiles().count(_.getName.startsWith("v")) == 2)
+    // after run 3's update every doc is in state: a fresh read_only run drops all
+    Main.run(spark, om.readTree(cfg(s"$dir/in2", s"$dir/out4", ""","read_only": true""")))
+    assert(spark.read.parquet(s"$dir/out4").count() == 0)
+  }
 }
