@@ -61,6 +61,15 @@ import scala.jdk.CollectionConverters._
   *               "target_tokens_per_shard": 536870912,
   *               "min_shard_size_bytes": 0,    // >0 -> reshard pass
   *               "dolma_layout": false},       // .npy + .csv.gz export
+  *   "analyze":  {"enabled": true,           // optional: the
+  *               // `dolma analyze` stage — per-attribute score/length
+  *               // distributions as equal-count summaries + the console
+  *               // report (core/analyzer.py)
+  *               "attributes": ["path", ...], // default: this run's attrs
+  *               "bins": 1000, "viz_bins": 10, "regex": null,
+  *               "total": false,
+  *               "summaries_output": "...",   // parquet (name,bins,counts,total,sum)
+  *               "report": "..."},            // rendered text; omit -> stdout
   *   "attributes_output": "...",   // optional
   *   "attributes_input": ["path", {"path": "...", "format": "jsonl"}],
   *               // optional: merge attribute tables written by EARLIER
@@ -383,6 +392,90 @@ object Main {
       withAttrs = graft.dedup.Dedup.markDuplicates(
         withAttrs, sha2(col("content"), 256), col("__ord"))
     }
+
+    // analyze stage — the `dolma analyze` CLI (cli/analyzer.py +
+    // core/analyzer.py:96-188): per attribute name, the distribution of
+    // span SCORES and span LENGTHS, as equal-count summaries. Faithful
+    // details: empty span lists count as one (0,0,0.0) triple
+    // (analyzer.py:124), `__label__` scores cap at 1.0 (the fastText
+    // >1.0-probability fix, analyzer.py:127-133), `regex` filters names
+    // by search. Sources: explicit "attributes" tables (any earlier run)
+    // or this run's merged attribute column. One narrow explode + one
+    // groupBy — the tracker agg is associative (map-side partials), only
+    // #attributes × bins rows ever leave the executors.
+    Option(cfg.get("analyze"))
+      .filter(a => Option(a.get("enabled")).forall(_.asBoolean(true)))
+      .foreach { a =>
+        import spark.implicits._
+        val bins = Option(a.get("bins")).map(_.asInt()).getOrElse(1000)
+        val vizBins = Option(a.get("viz_bins")).map(_.asInt()).getOrElse(10)
+        val regex = Option(a.get("regex")).map(_.asText())
+        val showTotal = Option(a.get("total")).exists(_.asBoolean(false))
+        val sources: Seq[DataFrame] = Option(a.get("attributes")) match {
+          case Some(list) => list.elements().asScala.toSeq.map { n =>
+            val (p, fmt) =
+              if (n.isTextual) (n.asText(),
+                if (n.asText().matches(".*\\.jsonl?(\\.(gz|zst|zstd))?$")) "jsonl"
+                else "parquet")
+              else (n.get("path").asText(),
+                Option(n.get("format")).map(_.asText()).getOrElse("parquet"))
+            fmt match {
+              case "jsonl" => graft.sources.Jsonl.readAttributes(spark, p)
+              case "table" => spark.read.table(p)
+              case _ => spark.read.parquet(p)
+            }
+          }
+          case None =>
+            require(withAttrs.columns.contains("attributes"),
+              "analyze: no \"attributes\" tables given and this run has no " +
+                "taggers/dedupe/attributes_input to analyze")
+            Seq(withAttrs.select(col("id"), col("attributes")))
+        }
+        val entries = sources.map(_.select(
+            explode(col("attributes")).as(Seq("name", "spans"))))
+          .reduce(_ unionAll _)
+        val named = regex.map(r => entries.filter(col("name").rlike(r)))
+          .getOrElse(entries)
+        val spansOrZero = when(size(col("spans")) > 0, col("spans"))
+          .otherwise(array(struct(lit(0L).as("start"), lit(0L).as("end"),
+            lit(0.0).as("score"))))
+        val sv = named.select(col("name"), explode(spansOrZero).as("t"))
+          .select(col("name"),
+            when(col("name").contains("__label__"),
+              least(col("t.score"), lit(1.0))).otherwise(col("t.score")).as("score"),
+            (col("t.end") - col("t.start")).cast("double").as("len"))
+        val values = sv.select(concat(col("name"), lit("/score")).as("name"),
+            col("score").as("v"))
+          .unionAll(sv.select(concat(col("name"), lit("/length")).as("name"),
+            col("len").as("v")))
+        val agg = new graft.functions.Binning.InferSummaryAgg(1 << 20, bins)
+        val summaries = values.as[(String, Double)]
+          .groupByKey(_._1).mapValues(_._2)
+          .agg(agg.toColumn.name("s"))
+          .select(col("key").as("name"), col("s.bins").as("bins"),
+            col("s.counts").as("counts"), col("s.total").as("total"),
+            col("s.sum").as("sum"))
+        Option(a.get("summaries_output")).map(_.asText()).foreach { p =>
+          summaries.write.mode("overwrite").parquet(p)
+        }
+        val collected = summaries.collect().map { r =>
+          r.getAs[String]("name") -> graft.functions.Binning.Summary(
+            r.getSeq[Double](r.fieldIndex("bins")).toVector,
+            r.getSeq[Long](r.fieldIndex("counts")).toVector,
+            r.getAs[Long]("total"), r.getAs[Double]("sum"))
+        }.toMap
+        val report = graft.tools.AnalyzerReport.render(
+          collected, numVizBins = vizBins, showTotal = showTotal)
+        Option(a.get("report")).map(_.asText()) match {
+          case Some(p) =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val out = fs.create(hp, true)
+            try out.write((report.mkString("\n") + "\n").getBytes("UTF-8"))
+            finally out.close()
+          case None => report.foreach(println)
+        }
+      }
 
     // mix. Predicates: the compiled-Column grammar is the hot path;
     // `"syntax": "jq"` (or a jq-looking string the grammar rejects) routes

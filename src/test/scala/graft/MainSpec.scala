@@ -386,4 +386,45 @@ class MainSpec extends AnyFunSuite {
     Main.run(spark, om.readTree(cfg(s"$dir/in2", s"$dir/out4", ""","read_only": true""")))
     assert(spark.read.parquet(s"$dir/out4").count() == 0)
   }
+
+  test("analyze stage: score/length summaries + rendered report (dolma analyze)") {
+    val dir = Files.createTempDirectory("graft-analyze").toString
+    graft.sources.CodeDocs.generate(spark, 80L).toDF()
+      .withColumn("id", concat_ws(":", col("repo"), col("path"), col("commit")))
+      .write.parquet(s"$dir/input")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/input",
+         |            "id": "id", "text": "content"},
+         |  "taggers": ["char_length_v1", "gopher_v2"],
+         |  "experiment": "e",
+         |  "analyze": {"bins": 100, "viz_bins": 5, "total": true,
+         |    "regex": "char_length|word_count",
+         |    "summaries_output": "$dir/summaries",
+         |    "report": "$dir/report.txt"},
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+
+    val sums = spark.read.parquet(s"$dir/summaries")
+    val names = sums.select("name").as[String].collect().toSet
+    // regex filtered: char_length + gopher word_count families only,
+    // each with /score and /length variants
+    assert(names.contains("e__char_length_v1__length/score"))
+    assert(names.contains("e__char_length_v1__length/length"))
+    assert(names.exists(_.matches("e__gopher_v2__.*word_count.*/score")))
+    assert(!names.exists(_.contains("symbol_to_word_ratio")))
+    // every doc contributed one char_length span
+    val row = sums.filter(col("name") === "e__char_length_v1__length/score").head()
+    assert(row.getAs[Long]("total") == 80L)
+    // the /score tracker saw the code-point lengths (scores == lengths
+    // for this tagger), so the sum is the corpus char total
+    val expectSum = spark.read.parquet(s"$dir/input")
+      .select(sum(length(col("content")))).head().getLong(0)
+    assert(row.getAs[Double]("sum").toLong == expectSum)
+    val report = new String(
+      Files.readAllBytes(java.nio.file.Paths.get(s"$dir/report.txt")), "UTF-8")
+    assert(report.contains("e__char_length_v1__length/score"))
+    assert(report.contains("count")) // table header rendered
+  }
 }
