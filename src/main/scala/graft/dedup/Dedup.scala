@@ -170,11 +170,18 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val neighborLabels = sym
+      // min label among neighbors, folded into each node's own label.
+      // The previous label rides along as __old so the convergence check
+      // is a filter over the checkpointed round output — no extra join,
+      // no second pass over the edge table per round.
+      val neighborMin = sym
         .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
-        .select(col("a").as("id"), col("label"))
-      val propagated = labels.unionAll(neighborLabels)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .groupBy(col("a")).agg(min(col("label")).as("__nl"))
+        .select(col("a").as("id"), col("__nl"))
+      val propagated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
       // pointer doubling: every label value is itself a node id (labels
       // are mins over node ids), so label(label) is always defined; the
       // inner self-join therefore preserves all rows, and since labels
@@ -183,13 +190,12 @@ object Dedup {
       val updated = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("__ll")),
           Seq("label"))
-        .select(col("id"), least(col("label"), col("__ll")).as("label"))
+        .select(col("id"), col("__old"),
+          least(col("label"), col("__ll")).as("label"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
-        .filter(col("label") =!= col("__old"))
+      val changed = updated.filter(col("label") =!= col("__old"))
         .limit(1).count() > 0
-      labels = updated
+      labels = updated.select(col("id"), col("label"))
       converged = !changed
       it += 1
     }

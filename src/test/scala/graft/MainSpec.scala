@@ -228,6 +228,46 @@ class MainSpec extends AnyFunSuite {
     assert(r.getAs[String]("provenance").startsWith("a.warc:"))
   }
 
+  test("input format=warc + ledger: resume re-reads only pending archives") {
+    val dir = Files.createTempDirectory("graft-warc-resume").toString
+    def rec(uri: String, body: String): Array[Byte] = {
+      val html = s"<html><body><p>$body</p></body></html>"
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      val payload = (http + html).getBytes("ISO-8859-1")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
+        s"WARC-Target-URI: http://$uri/\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Payload-Digest: sha1:${uri.toUpperCase.filter(_.isLetterOrDigit)}\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes
+    }
+    Files.createDirectories(java.nio.file.Paths.get(dir, "warcs"))
+    Files.write(java.nio.file.Paths.get(dir, "warcs", "a.warc"), rec("alpha", "first doc"))
+    def config =
+      s"""{
+         |  "input": {"format": "warc", "path": "$dir/warcs/*.warc",
+         |            "source_name": "cc"},
+         |  "output": {"path": "$dir/out", "format": "parquet"},
+         |  "ledger": "$dir/ledger"
+         |}""".stripMargin
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    Main.run(spark, om.readTree(config))
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+
+    // add a second archive; the resumed run must process ONLY it and
+    // append (the completed archive's doc is neither dropped nor doubled)
+    Files.write(java.nio.file.Paths.get(dir, "warcs", "b.warc"), rec("beta", "second doc"))
+    Main.run(spark, om.readTree(config))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 2)
+    assert(out.select("content").as[String].collect().toSet ==
+      Set("first doc", "second doc"))
+
+    // a third run with nothing pending changes nothing
+    Main.run(spark, om.readTree(config))
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("tokens stage: config-driven tokenize -> shards + metadata + dolma layout") {
     val dir = Files.createTempDirectory("graft-main-tok").toString
     graft.sources.CodeDocs.generate(spark, 80L).toDF()
