@@ -104,4 +104,16 @@ object FtDataset {
     * per row (what the reference's writer emits, ft_dataset.py:100-117). */
   def writeText(ds: DataFrame, path: String): Unit =
     ds.select(col("line")).write.mode("overwrite").text(path)
+
+  /** Parse [[build]] output back into deterministic `(label, text)`
+    * examples — the feed for [[FastTextClassifier.train]] (the reference
+    * trains `fasttext supervised` on this same file format,
+    * core/ft_tagger.py:39-120). Driver-resident by design: a training set
+    * is capped (`nSegmentsPerClass`) to what one trainer can hold. */
+  def trainingExamples(ds: DataFrame): Seq[(String, String)] =
+    ds.select(col("label"), col("line")).collect().map { r =>
+      val line = r.getString(1)
+      val prefix = "__label__" + r.getString(0) + " "
+      (r.getString(0), line.stripPrefix(prefix))
+    }.toSeq.sorted
 }

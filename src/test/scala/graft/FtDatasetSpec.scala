@@ -72,6 +72,23 @@ class FtDatasetSpec extends AnyFunSuite {
     assert(a.map(_.getString(1)).forall(full))
   }
 
+  test("end-to-end: built dataset trains a classifier that separates the corpora") {
+    // two synthetic "languages" (disjoint vocabularies), the reference's
+    // intended use: target corpus vs sample corpus -> quality filter
+    val rng = new scala.util.Random(7)
+    def doc(words: Seq[String]) =
+      (1 to 12).map(_ => words(rng.nextInt(words.size))).mkString(" ")
+    val enWords = Seq("the", "data", "stream", "value", "with", "that", "have")
+    val deWords = Seq("der", "wert", "daten", "strom", "nicht", "eine", "und")
+    val target = (1 to 40).map(_ => doc(enWords)).toDF("t")
+    val sample = (1 to 40).map(_ => doc(deWords)).toDF("t")
+    val ds = graft.ml.FtDataset.build(target, Seq(sample), col("t"))
+    val model = graft.ml.FastTextClassifier.train(
+      graft.ml.FtDataset.trainingExamples(ds))
+    assert(model.predict("the data value with that stream")._1 == "pos")
+    assert(model.predict("der wert und daten nicht strom")._1 == "neg")
+  }
+
   test("writeText emits the fastText supervised line format") {
     val target = Seq("alpha").toDF("t")
     val sample = Seq("beta").toDF("t")
