@@ -32,7 +32,8 @@ import scala.jdk.CollectionConverters._
   *               // tagger classes/objects on the --jars classpath
   *               // (reference `taggers_modules` / import_modules)
   *   "experiment": "exp",
-  *   "dedupe":  {"enabled": true, "mode": "documents|paragraphs|ngrams|bloom",
+  *   "dedupe":  {"enabled": true,
+  *               "mode": "documents|paragraphs|ngrams|bloom|bloom_paragraphs",
   *               "attribute_name": "duplicate_paragraphs",
   *               "ngram": {"length": 8, "stride": 0, "threshold": 0.7},
   *               "bloom_filter": {           // optional: cross-run state
@@ -40,10 +41,13 @@ import scala.jdk.CollectionConverters._
   *                 // whose key is already in PERSISTED state and, unless
   *                 // read_only, merges this run's keys into a new state
   *                 // version under "path". mode "bloom" = Bloom only.
+  *                 // mode "bloom_paragraphs" = PARAGRAPH grain: hits
+  *                 // become exact paragraph spans for scrubbing.
   *                 "path": "...", "read_only": false, "shards": 64,
   *                 "estimated_doc_count": 1000000,
   *                 "desired_false_positive_rate": 1e-4,
-  *                 "key": "content_sha|id",
+  *                 "key": "content_sha|id",   // doc grain only
+  *                 "skip_empty": false,       // paragraph grain only
   *                 "attribute_name": "bff_duplicate"}},
   *   "filter":  {"include": [], "exclude": ["$.attributes.exp__...[0][2] > 0.5"]},
   *   "span_replacement": [{"span": "exp__...__EMAIL_ADDRESS", "min_score": 0.5,
@@ -304,7 +308,8 @@ object Main {
       .getOrElse("duplicate_paragraphs")
 
     val dedupAttr: Option[DataFrame] =
-      if (!dedupEnabled || dedupMode == "documents" || dedupMode == "bloom") None
+      if (!dedupEnabled || dedupMode == "documents" ||
+        dedupMode.startsWith("bloom")) None
       else {
         val spansDf = dedupMode match {
           case "paragraphs" =>
@@ -344,35 +349,66 @@ object Main {
       val readOnly = Option(b.get("read_only")).exists(_.asBoolean(false))
       val bloomAttrName = Option(b.get("attribute_name")).map(_.asText())
         .getOrElse("bff_duplicate")
-      val keyCol = Option(b.get("key")).map(_.asText()) match {
-        case Some("id") => col("id")
-        case _ => sha2(col("content"), 256) // content identity, the BFF default
-      }
-      val keys = docs.select(col("id").cast("string"), keyCol.cast("string"))
-        .as[(String, String)]
+      // "bloom_paragraphs" works at PARAGRAPH grain (the reference
+      // deduper's primary production mode: paragraphs probed against the
+      // BFF across the whole corpus) — hits become exact paragraph spans,
+      // ready for span_replacement scrubbing. "bloom" / "documents" work
+      // at doc grain on the configured key.
+      val paragraphGrain = dedupMode == "bloom_paragraphs"
+      val skipEmpty = Option(b.get("skip_empty")).exists(_.asBoolean(false))
       val existing = graft.dedup.DistributedBloom.loadState(spark, statePath)
-      // probes route by the STATE's shard count, not the config's
-      val hits = existing match {
-        case Some((st, stShards)) =>
-          graft.dedup.DistributedBloom.probeSharded(keys, st, stShards)
-            .toDF("id", "__hit").filter(col("__hit")).select(col("id"))
-        case None => spark.emptyDataset[String].toDF("id")
-      }
-      if (!readOnly) {
-        val shards = existing.map(_._2).getOrElse(cfgShards)
-        val fresh = graft.dedup.DistributedBloom.buildSharded(
-          keys.map(_._2), est, fp, shards)
-        val merged = existing match {
-          case Some((st, _)) => graft.dedup.DistributedBloom.mergeStates(st, fresh)
-          case None => fresh
+      val stShards = existing.map(_._2).getOrElse(cfgShards)
+      def probeHits(keys: org.apache.spark.sql.Dataset[(String, String)]) =
+        existing match {
+          case Some((st, _)) =>
+            graft.dedup.DistributedBloom.probeSharded(keys, st, stShards)
+              .toDF("id", "__hit").filter(col("__hit")).select(col("id"))
+          case None => spark.emptyDataset[String].toDF("id")
         }
-        graft.dedup.DistributedBloom.saveState(merged, statePath, shards)
+      def updateState(keys: org.apache.spark.sql.Dataset[String]): Unit =
+        if (!readOnly) {
+          val fresh = graft.dedup.DistributedBloom.buildSharded(
+            keys, est, fp, stShards)
+          val merged = existing match {
+            case Some((st, _)) => graft.dedup.DistributedBloom.mergeStates(st, fresh)
+            case None => fresh
+          }
+          graft.dedup.DistributedBloom.saveState(merged, statePath, stShards)
+        }
+      if (paragraphGrain) {
+        // one paragraph walk feeds BOTH the probe and the state update:
+        // checkpoint keys+offsets (16-byte hashes, no text) so the doc
+        // pipeline upstream evaluates once
+        val paras0 = graft.dedup.ReferenceDedup.paragraphKeyRows(
+          docs, col("id"), col("content"))
+        val paras = (if (skipEmpty) paras0.filter(!col("is_empty")) else paras0)
+          .withColumn("__pid", concat_ws("\u0000", col("id"), col("idx")))
+          .localCheckpoint()
+        val hitPids = probeHits(
+          paras.select(col("__pid"), col("key")).as[(String, String)])
+          .withColumnRenamed("id", "__pid")
+        updateState(paras.select(col("key")).as[String])
+        val hitSpans = paras.join(hitPids, Seq("__pid"))
+          .select(col("id"), col("idx"), col("start"), col("end"),
+            lit(1.0).as("score"))
+        graft.dedup.ReferenceDedup.rollupSpans(docs, col("id"), hitSpans)
+          .filter(size(col("spans")) > 0)
+          .select(col("id"), map(lit(bloomAttrName), col("spans")).as("attributes"))
+      } else {
+        val keyCol = Option(b.get("key")).map(_.asText()) match {
+          case Some("id") => col("id")
+          case _ => sha2(col("content"), 256) // content identity, the BFF default
+        }
+        val keys = docs.select(col("id").cast("string"), keyCol.cast("string"))
+          .as[(String, String)]
+        val hits = probeHits(keys)
+        updateState(keys.map(_._2))
+        hits.join(docs.select(col("id"),
+            length(col("content")).cast("long").as("__len")), Seq("id"))
+          .select(col("id"), map(lit(bloomAttrName),
+            array(struct(lit(0L).as("start"), col("__len").as("end"),
+              lit(1.0).as("score")))).as("attributes"))
       }
-      hits.join(docs.select(col("id"),
-          length(col("content")).cast("long").as("__len")), Seq("id"))
-        .select(col("id"), map(lit(bloomAttrName),
-          array(struct(lit(0L).as("start"), col("__len").as("end"),
-            lit(1.0).as("score")))).as("attributes"))
     }
 
     var withAttrs = Mixer.mergeAttributes(docs,

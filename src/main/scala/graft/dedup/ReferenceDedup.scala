@@ -148,6 +148,31 @@ object ReferenceDedup {
   }
 
   /** Assemble per-doc ordered span arrays, keeping docs with no spans. */
+  /** Paragraphs keyed for cross-run Bloom probing — the reference
+    * deduper's paragraphs + bloom_filter mode (deduper.rs:306-379, with
+    * the BFF as persisted state instead of the in-run window): one row
+    * per paragraph with its exact span (same offset bookkeeping as
+    * [[paragraphDupSpans]]) and a 128-bit text-hash key. The text itself
+    * is dropped before any exchange — only 16-byte keys and offsets
+    * shuffle at 100 TB. `is_empty` lets the caller honor the reference's
+    * `skip_empty` config without re-reading the text. */
+  def paragraphKeyRows(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("string").as("id"), textCol.as("text"))
+      .as[(String, String)]
+      .flatMap { case (id, text) => splitParas(id, 0L, text) }
+      .select(col("id"), col("idx"), col("start"), col("end"),
+        concat_ws(":", xxhash64(col("text")).cast("string"),
+          hash(col("text")).cast("string")).as("key"),
+        (length(col("text")) === 0).as("is_empty"))
+  }
+
+  /** Roll (id, idx, start, end, score) hit rows into the dolma span shape
+    * covering every doc of `df` (docs without hits get empty lists). */
+  def rollupSpans(df: DataFrame, idCol: Column, hits: DataFrame): DataFrame =
+    collectSpans(df, idCol, hits)
+
   private def collectSpans(df: DataFrame, idCol: Column, spans: DataFrame): DataFrame = {
     val agg = spans
       .groupBy(col("id"))

@@ -427,6 +427,37 @@ class MainSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/out4").count() == 0)
   }
 
+  test("dedupe mode=bloom_paragraphs: cross-run paragraph spans scrub previously seen paragraphs") {
+    val dir = Files.createTempDirectory("graft-bloom-para").toString
+    Seq(("d1", "alpha one\nbeta two")).toDF("id", "content")
+      .write.parquet(s"$dir/in1")
+    Seq(("d2", "gamma three\nalpha one\ndelta four")).toDF("id", "content")
+      .write.parquet(s"$dir/in2")
+
+    def cfg(in: String, out: String, extra: String) =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$in", "id": "id", "text": "content"},
+         |  "dedupe": {"enabled": true, "mode": "bloom_paragraphs",
+         |    "bloom_filter": {"path": "$dir/state",
+         |      "estimated_doc_count": 1000, "shards": 4$extra}},
+         |  "span_replacement": [{"span": "bff_duplicate", "min_score": 0.5,
+         |                        "replacement": ""}],
+         |  "output": {"path": "$out", "format": "parquet"}
+         |}""".stripMargin
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // run 1: nothing in state; text passes through untouched
+    Main.run(spark, om.readTree(cfg(s"$dir/in1", s"$dir/out1", "")))
+    assert(spark.read.parquet(s"$dir/out1").select("content").as[String].head() ==
+      "alpha one\nbeta two")
+
+    // run 2: the "alpha one" paragraph was seen in run 1 — its exact span
+    // (paragraph + trailing newline) is scrubbed out of the new doc
+    Main.run(spark, om.readTree(cfg(s"$dir/in2", s"$dir/out2", ""","read_only": true""")))
+    assert(spark.read.parquet(s"$dir/out2").select("content").as[String].head() ==
+      "gamma three\ndelta four")
+  }
+
   test("analyze stage: score/length summaries + rendered report (dolma analyze)") {
     val dir = Files.createTempDirectory("graft-analyze").toString
     graft.sources.CodeDocs.generate(spark, 80L).toDF()
