@@ -277,22 +277,25 @@ object Main {
     // triple format; parquet reads this engine's attributes_output.
     // Merge order mirrors the reference (later files win on duplicate
     // keys, shard.rs:322): loaded tables first, then this run's taggers.
-    val attrsLoaded = Option(cfg.get("attributes_input"))
-      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty).map { n =>
-        val (path, fmt) =
-          if (n.isTextual) {
-            val p = n.asText()
-            val f = if (p.matches(".*\\.jsonl?(\\.(gz|zst|zstd))?$")) "jsonl"
-                    else "parquet"
-            (p, f)
-          } else (n.get("path").asText(),
-            Option(n.get("format")).map(_.asText()).getOrElse("parquet"))
-        fmt match {
-          case "jsonl" => graft.sources.Jsonl.readAttributes(spark, path)
-          case "table" => spark.read.table(path)
-          case _ => spark.read.parquet(path)
-        }
+    // shared by attributes_input and the analyze stage's "attributes"
+    def readAttrTable(n: JsonNode): DataFrame = {
+      val (path, fmt) =
+        if (n.isTextual) {
+          val p = n.asText()
+          val f = if (p.matches(".*\\.jsonl?(\\.(gz|zst|zstd))?$")) "jsonl"
+                  else "parquet"
+          (p, f)
+        } else (n.get("path").asText(),
+          Option(n.get("format")).map(_.asText()).getOrElse("parquet"))
+      fmt match {
+        case "jsonl" => graft.sources.Jsonl.readAttributes(spark, path)
+        case "table" => spark.read.table(path)
+        case _ => spark.read.parquet(path)
       }
+    }
+    val attrsLoaded = Option(cfg.get("attributes_input"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+      .map(readAttrTable)
 
     // dedupe: "documents" (exact first-occurrence flag), or the dolma
     // attribute-emitting modes "paragraphs" / "ngrams" whose duplicate
@@ -338,7 +341,10 @@ object Main {
     // two extra passes over the docs — run Bloom dedupe as its own config
     // (the reference's `dolma dedupe` is its own CLI step for the same
     // reason).
-    val bloomAttr: Option[DataFrame] =
+    require(!dedupMode.startsWith("bloom") ||
+      dedupeNode.exists(d => d.has("bloom_filter")),
+      s"""dedupe mode "$dedupMode" requires a "bloom_filter" block""")
+    val (bloomAttr: Option[DataFrame], bloomCommit: Option[() => Unit]) =
       dedupeNode.filter(_ => dedupEnabled)
         .flatMap(d => Option(d.get("bloom_filter"))).map { b =>
       import spark.implicits._
@@ -365,15 +371,21 @@ object Main {
               .toDF("id", "__hit").filter(col("__hit")).select(col("id"))
           case None => spark.emptyDataset[String].toDF("id")
         }
-      def updateState(keys: org.apache.spark.sql.Dataset[String]): Unit =
-        if (!readOnly) {
+      // The state update is DEFERRED to after the output commit (run()
+      // executes the returned thunk): saving eagerly would poison the
+      // state if the run later failed — a retry would then see its own
+      // keys as duplicates and silently drop the whole batch.
+      def deferredUpdate(keys: () => org.apache.spark.sql.Dataset[String]): Option[() => Unit] =
+        if (readOnly) None
+        else Some { () =>
           val fresh = graft.dedup.DistributedBloom.buildSharded(
-            keys, est, fp, stShards)
+            keys(), est, fp, stShards)
           val merged = existing match {
             case Some((st, _)) => graft.dedup.DistributedBloom.mergeStates(st, fresh)
             case None => fresh
           }
           graft.dedup.DistributedBloom.saveState(merged, statePath, stShards)
+          ()
         }
       if (paragraphGrain) {
         // one paragraph walk feeds BOTH the probe and the state update:
@@ -387,29 +399,31 @@ object Main {
         val hitPids = probeHits(
           paras.select(col("__pid"), col("key")).as[(String, String)])
           .withColumnRenamed("id", "__pid")
-        updateState(paras.select(col("key")).as[String])
         val hitSpans = paras.join(hitPids, Seq("__pid"))
           .select(col("id"), col("idx"), col("start"), col("end"),
             lit(1.0).as("score"))
-        graft.dedup.ReferenceDedup.rollupSpans(docs, col("id"), hitSpans)
+        val attr = graft.dedup.ReferenceDedup.rollupSpans(docs, col("id"), hitSpans)
           .filter(size(col("spans")) > 0)
           .select(col("id"), map(lit(bloomAttrName), col("spans")).as("attributes"))
+        (Some(attr), deferredUpdate(() => paras.select(col("key")).as[String]))
       } else {
         val keyCol = Option(b.get("key")).map(_.asText()) match {
           case Some("id") => col("id")
-          case _ => sha2(col("content"), 256) // content identity, the BFF default
+          case Some("content_sha") | None => sha2(col("content"), 256)
+          case Some(other) => sys.error(
+            s"""unknown bloom_filter key "$other" (expected "content_sha" or "id")""")
         }
         val keys = docs.select(col("id").cast("string"), keyCol.cast("string"))
           .as[(String, String)]
         val hits = probeHits(keys)
-        updateState(keys.map(_._2))
-        hits.join(docs.select(col("id"),
+        val attr = hits.join(docs.select(col("id"),
             length(col("content")).cast("long").as("__len")), Seq("id"))
           .select(col("id"), map(lit(bloomAttrName),
             array(struct(lit(0L).as("start"), col("__len").as("end"),
               lit(1.0).as("score")))).as("attributes"))
+        (Some(attr), deferredUpdate(() => keys.map(_._2)))
       }
-    }
+    }.getOrElse((None, None))
 
     var withAttrs = Mixer.mergeAttributes(docs,
       attrsLoaded ++ attrsForMerge.toSeq ++ dedupAttr ++ bloomAttr)
@@ -448,19 +462,7 @@ object Main {
         val regex = Option(a.get("regex")).map(_.asText())
         val showTotal = Option(a.get("total")).exists(_.asBoolean(false))
         val sources: Seq[DataFrame] = Option(a.get("attributes")) match {
-          case Some(list) => list.elements().asScala.toSeq.map { n =>
-            val (p, fmt) =
-              if (n.isTextual) (n.asText(),
-                if (n.asText().matches(".*\\.jsonl?(\\.(gz|zst|zstd))?$")) "jsonl"
-                else "parquet")
-              else (n.get("path").asText(),
-                Option(n.get("format")).map(_.asText()).getOrElse("parquet"))
-            fmt match {
-              case "jsonl" => graft.sources.Jsonl.readAttributes(spark, p)
-              case "table" => spark.read.table(p)
-              case _ => spark.read.parquet(p)
-            }
-          }
+          case Some(list) => list.elements().asScala.toSeq.map(readAttrTable)
           case None =>
             require(withAttrs.columns.contains("attributes"),
               "analyze: no \"attributes\" tables given and this run has no " +
@@ -491,10 +493,16 @@ object Main {
           .select(col("key").as("name"), col("s.bins").as("bins"),
             col("s.counts").as("counts"), col("s.total").as("total"),
             col("s.sum").as("sum"))
+        // one evaluation: the summary rows (#attributes of them) come to
+        // the driver once; the optional parquet write reuses them instead
+        // of re-running the aggregation (and the tagger battery under it)
+        val rows = summaries.collect()
         Option(a.get("summaries_output")).map(_.asText()).foreach { p =>
-          summaries.write.mode("overwrite").parquet(p)
+          spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), summaries.schema)
+            .write.mode("overwrite").parquet(p)
         }
-        val collected = summaries.collect().map { r =>
+        val collected = rows.map { r =>
           r.getAs[String]("name") -> graft.functions.Binning.Summary(
             r.getSeq[Double](r.fieldIndex("bins")).toVector,
             r.getSeq[Long](r.fieldIndex("counts")).toVector,
@@ -614,6 +622,10 @@ object Main {
         writeCommitted((path, mode) =>
           mixed.write.mode(mode).parquet(path), outPath)
     }
+    // the Bloom state version commits only now, with the output safely
+    // written — a crash above leaves the state untouched so a retry
+    // doesn't see its own keys (see the dedupe block)
+    bloomCommit.foreach(_())
     val rowsWritten = rowsObs.get.get("rows_written") match {
       case Some(n: Number) => n.longValue()
       case _ => 0L

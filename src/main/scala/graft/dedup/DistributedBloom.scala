@@ -103,9 +103,19 @@ object DistributedBloom {
   }
 
   /** Persist `state` as a new version under `dir` (crash-safe: a version
-    * is only visible once its parquet commit succeeds). */
+    * is only visible once its parquet commit succeeds). Nanotime in the
+    * name keeps rapid successive runs from colliding.
+    *
+    * SINGLE-WRITER contract, same as the reference's Bloom FILE (two
+    * `dolma dedupe` processes updating one file also last-write-win):
+    * concurrent UPDATING runs each merge against the base they loaded, so
+    * the earlier writer's keys are absent from the later version. Readers
+    * (`read_only`) are always safe. Serialize updaters externally. */
   def saveState(state: Dataset[(Int, Array[Byte])], dir: String, shards: Int): String = {
-    val version = s"v${System.currentTimeMillis()}-s$shards"
+    // wall-clock millis ordered first (comparable across JVMs/boots),
+    // sub-millisecond nanos as a collision disambiguator
+    val ts = System.currentTimeMillis() * 1000000L + (System.nanoTime() % 1000000L)
+    val version = s"v$ts-s$shards"
     state.toDF("_1", "_2").write.mode("error").parquet(s"$dir/$version")
     version
   }

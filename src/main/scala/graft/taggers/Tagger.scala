@@ -48,24 +48,31 @@ object TaggerRegistry {
     * worker process the same way, core/runtime.py). */
   def importModules(modules: Seq[String]): Unit = modules.foreach { m =>
     importedModules.getOrElseUpdate(m, {
-      val cls =
-        try Class.forName(m + "$") // Scala object form first
-        catch {
-          case _: ClassNotFoundException =>
-            try Class.forName(m)
-            catch {
-              case e: ClassNotFoundException => throw new IllegalArgumentException(
-                s"Could not import tagger module '$m': no such class or object on " +
-                  "the classpath. Package custom taggers as a jar and submit it " +
-                  "with --jars (the reference's import-by-path form has no JVM analog).", e)
-            }
+      def lookup(n: String): Option[Class[_]] =
+        try Some(Class.forName(n)) catch { case _: ClassNotFoundException => None }
+      val plain = lookup(m)
+      val objCls = lookup(m + "$")
+      // a TaggerModule CLASS wins over a same-named companion object (the
+      // companion would otherwise shadow it and register() never run)
+      plain match {
+        case Some(cls) if classOf[TaggerModule].isAssignableFrom(cls) =>
+          cls.getDeclaredConstructor().newInstance()
+            .asInstanceOf[TaggerModule].register()
+        case _ => objCls match {
+          case Some(oc) => oc.getField("MODULE$").get(null) match {
+            case tm: TaggerModule => tm.register()
+            case _ => () // object-initializer side effects did the work
+          }
+          case None => plain match {
+            case Some(cls) =>
+              cls.getDeclaredConstructor().newInstance() // ctor side effects
+              ()
+            case None => throw new IllegalArgumentException(
+              s"Could not import tagger module '$m': no such class or object on " +
+                "the classpath. Package custom taggers as a jar and submit it " +
+                "with --jars (the reference's import-by-path form has no JVM analog).")
+          }
         }
-      val instance =
-        if (cls.getName.endsWith("$")) cls.getField("MODULE$").get(null)
-        else cls.getDeclaredConstructor().newInstance()
-      instance match {
-        case tm: TaggerModule => tm.register()
-        case _ => () // initializer/constructor side effects did the work
       }
     })
   }

@@ -458,6 +458,25 @@ class MainSpec extends AnyFunSuite {
       "gamma three\ndelta four")
   }
 
+  test("bloom config errors are loud: missing bloom_filter block, unknown key") {
+    val dir = Files.createTempDirectory("graft-bloom-err").toString
+    Seq(("d1", "text")).toDF("id", "content").write.parquet(s"$dir/in")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def run(dedupe: String) = Main.run(spark, om.readTree(
+      s"""{"input": {"format": "parquet", "path": "$dir/in", "id": "id", "text": "content"},
+         | "dedupe": $dedupe,
+         | "output": {"path": "$dir/out", "format": "parquet"}}""".stripMargin))
+    val e1 = intercept[IllegalArgumentException] {
+      run("""{"enabled": true, "mode": "bloom"}""")
+    }
+    assert(e1.getMessage.contains("bloom_filter"))
+    val e2 = intercept[RuntimeException] {
+      run(s"""{"enabled": true, "mode": "bloom",
+             | "bloom_filter": {"path": "$dir/state", "key": "url"}}""".stripMargin)
+    }
+    assert(e2.getMessage.contains("unknown bloom_filter key"))
+  }
+
   test("analyze stage: score/length summaries + rendered report (dolma analyze)") {
     val dir = Files.createTempDirectory("graft-analyze").toString
     graft.sources.CodeDocs.generate(spark, 80L).toDF()

@@ -34,9 +34,11 @@ class TaggerModuleSpec extends AnyFunSuite {
   }
 
   test("importModules is idempotent (import-once memo, utils.py:139-147)") {
-    TaggerRegistry.importModules(Seq("graft.ExtraTaggersFromObject"))
-    TaggerRegistry.importModules(Seq("graft.ExtraTaggersFromObject"))
-    assert(ExtraTaggersFromObject.registrations.get() == 1)
+    // the CLASS form is the one the memo actually protects: without it,
+    // register() would run (and re-register) on every import
+    TaggerRegistry.importModules(Seq("graft.ExtraTaggerModuleClass"))
+    TaggerRegistry.importModules(Seq("graft.ExtraTaggerModuleClass"))
+    assert(ExtraTaggerModuleClass.registerCalls.get() == 1)
   }
 
   test("end-to-end: config pipeline runs a custom tagger next to builtins (test_extra.py:34-48)") {
@@ -67,8 +69,6 @@ class TaggerModuleSpec extends AnyFunSuite {
   * object initializer's side effect (the analog of the reference's
   * import-time `@TaggerRegistry.add` decorators). */
 object ExtraTaggersFromObject {
-  val registrations = new java.util.concurrent.atomic.AtomicInteger(0)
-  registrations.incrementAndGet()
   TaggerRegistry.register("extra_v1")(new Tagger {
     def name: String = "extra_v1"
     def predict(text: String, meta: Map[String, String]): Vector[Span] =
@@ -76,12 +76,21 @@ object ExtraTaggersFromObject {
   })
 }
 
-/** A user extras module in [[TaggerModule]] class form. */
+/** A user extras module in [[TaggerModule]] class form. The companion
+  * object both counts register() calls for the idempotence test and
+  * proves a companion does NOT shadow the class (importModules must still
+  * run register()). */
 class ExtraTaggerModuleClass extends TaggerModule {
-  def register(): Unit =
+  def register(): Unit = {
+    ExtraTaggerModuleClass.registerCalls.incrementAndGet()
     TaggerRegistry.register("extra_v2")(new Tagger {
       def name: String = "extra_v2"
       def predict(text: String, meta: Map[String, String]): Vector[Span] =
         Vector(Span(0, text.length.toLong, "whole_doc", 0.5))
     })
+  }
+}
+
+object ExtraTaggerModuleClass {
+  val registerCalls = new java.util.concurrent.atomic.AtomicInteger(0)
 }
