@@ -53,7 +53,11 @@ import scala.jdk.CollectionConverters._
   *   "span_replacement": [{"span": "exp__...__EMAIL_ADDRESS", "min_score": 0.5,
   *                         "replacement": "[EMAIL]"}],
   *   "min_text_length": 1,
-  *   "output":  {"path": "...", "format": "parquet|jsonl|table"},
+  *   "output":  {"path": "...", "format": "parquet|jsonl|table",
+  *               "compression": "gzip",        // write codec
+  *               "max_records_per_file": 0,    // shard sizing (the
+  *               // reference's max_size_in_bytes ÷ expected doc size)
+  *               "discard_fields": ["field"]}, // dropped from output docs
   *   "tokens":  {"enabled": true, "destination": "...",   // optional: the
   *               // `dolma tokens` stage over the mixed output — binary
   *               // shards + metadata table under destination/
@@ -575,11 +579,17 @@ object Main {
         Option(r.get("replacement")).map(_.asText()).getOrElse(""))
     }.toSeq).getOrElse(Seq.empty)
 
+    // output.discard_fields (reference cli/mixer.py:179-182 /
+    // shard.rs:446-448): user-configured fields dropped from the output
+    // document, on top of the engine's own is_duplicate flag
+    val userDiscard = Option(cfg.get("output"))
+      .flatMap(o => Option(o.get("discard_fields")))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     val mixCfg = Mixer.MixerConfig(
       include = preds("include"),
       exclude = exclude,
       spanReplacements = replacements,
-      discardFields = Seq("is_duplicate"),
+      discardFields = Seq("is_duplicate") ++ userDiscard,
       minTextLength = Option(cfg.get("min_text_length")).map(_.asInt()).getOrElse(0))
 
     // decision metrics ride the output write as a CollectMetrics node
@@ -600,14 +610,27 @@ object Main {
       .drop("attributes", "__ord", "__file")
       .observe(rowsObs, count(lit(1)).as("rows_written"))
 
-    // the single evaluation of the pipeline: the output write
+    // the single evaluation of the pipeline: the output write.
+    // "compression" maps to the write codec (the reference's
+    // output.compression); "max_records_per_file" is the Spark-native
+    // shard-size control — the reference's byte budget
+    // (output.max_size_in_bytes, shard.rs:40-130) divided by the expected
+    // document size
     val out = cfg.get("output")
     val outPath = out.get("path").asText()
     val outFormat = opt(out, "format").getOrElse("parquet")
+    val outCodec = opt(out, "compression")
+    val maxRecords = Option(out.get("max_records_per_file")).map(_.asLong())
+    def sized(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+      val w1 = maxRecords.map(n => w.option("maxRecordsPerFile", n)).getOrElse(w)
+      outCodec.map(c => w1.option("compression", c)).getOrElse(w1)
+    }
     outFormat match {
       case "jsonl" =>
         writeCommitted((path, mode) =>
-          graft.sources.Jsonl.writeDocuments(mixed, path, mode = mode), outPath)
+          graft.sources.Jsonl.writeDocuments(mixed, path,
+            codec = outCodec.getOrElse("gzip"), mode = mode,
+            maxRecordsPerFile = maxRecords.getOrElse(0L)), outPath)
       case "table" =>
         // catalog output (the seam matching "format": "table" input): the
         // catalog's atomic commit replaces the staging/promote dance, and
@@ -616,11 +639,11 @@ object Main {
         require(!resuming,
           "table output does not compose with file-grain ledger resume: " +
             "the catalog's snapshot commit owns atomicity (see Main scaladoc)")
-        mixed.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        sized(mixed.write.mode(org.apache.spark.sql.SaveMode.Overwrite))
           .saveAsTable(outPath)
       case _ =>
         writeCommitted((path, mode) =>
-          mixed.write.mode(mode).parquet(path), outPath)
+          sized(mixed.write.mode(mode)).parquet(path), outPath)
     }
     // the Bloom state version commits only now, with the output safely
     // written — a crash above leaves the state untouched so a retry

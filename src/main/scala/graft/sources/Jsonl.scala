@@ -68,6 +68,10 @@ object Jsonl {
 
   /** Write documents in dolma format. */
   def writeDocuments(docs: DataFrame, path: String, codec: String = "gzip",
-      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite): Unit =
-    docs.write.mode(mode).option("compression", codec).json(path)
+      mode: org.apache.spark.sql.SaveMode = org.apache.spark.sql.SaveMode.Overwrite,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = docs.write.mode(mode).option("compression", codec)
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w)
+      .json(path)
+  }
 }

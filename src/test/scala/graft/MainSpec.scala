@@ -458,6 +458,27 @@ class MainSpec extends AnyFunSuite {
       "gamma three\ndelta four")
   }
 
+  test("output options: discard_fields, compression, max_records_per_file") {
+    val dir = Files.createTempDirectory("graft-outopts").toString
+    Seq(("a", "one text", "r1"), ("b", "two text", "r2"), ("c", "three text", "r3"))
+      .toDF("id", "content", "repo").write.parquet(s"$dir/in")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/in", "id": "id", "text": "content"},
+         |  "output": {"path": "$dir/out", "format": "jsonl",
+         |             "compression": "none", "max_records_per_file": 1,
+         |             "discard_fields": ["repo"]}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    val files = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.length == 3)                         // one record per file
+    assert(files.forall(f => !f.getName.endsWith(".gz"))) // uncompressed
+    val out = spark.read.json(s"$dir/out")
+    assert(!out.columns.contains("repo"))             // user field dropped
+    assert(out.count() == 3)
+  }
+
   test("bloom config errors are loud: missing bloom_filter block, unknown key") {
     val dir = Files.createTempDirectory("graft-bloom-err").toString
     Seq(("d1", "text")).toDF("id", "content").write.parquet(s"$dir/in")
