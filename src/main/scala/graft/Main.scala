@@ -22,6 +22,11 @@ import scala.jdk.CollectionConverters._
   * {{{
   * {
   *   "input":   {"format": "parquet|jsonl|table|warc", "path": "...", "id": "id", "text": "content"},
+  *   // "id"/"text" accept nested dot-paths ("metadata.text"), matching
+  *   // the reference's nested field retrievers (tokenizer/tokenizer.py
+  *   // make_retriever_for_field, tests/python/test_nested_struct.py).
+  *   // A dot-path is EXTRACTED (the parent struct stays on the doc);
+  *   // a plain name is renamed.
   *   // "warc" runs the reference's `dolma warc` extraction in-pipeline
   *   // (warc/processor.py): records -> linearized dolma documents.
   *   // Extra input fields: "source_name", "pre_taggers" (on raw html),
@@ -239,15 +244,23 @@ object Main {
           .withColumnRenamed("attributes", "__warc_attrs")
           .withColumnRenamed("__warc_file", "__file")
           .withColumn("__ord", monotonically_increasing_id())
-      } else raw
-        .withColumnRenamed(idColName, "id")
-        .withColumnRenamed(textColName, "content")
+      } else {
+        // bind a configured field to its canonical name. A nested dot-path
+        // ("metadata.text") is extracted via Spark's native struct-field
+        // resolution — withColumnRenamed would silently no-op on it; a
+        // plain top-level name is renamed as before.
+        def bind(df: DataFrame, src: String, dst: String): DataFrame =
+          if (src == dst) df
+          else if (src.contains('.')) df.withColumn(dst, col(src))
+          else df.withColumnRenamed(src, dst)
+        bind(bind(raw, idColName, "id"), textColName, "content")
         // ids are strings in the dolma document model; coerce numeric ids
         .withColumn("id", col("id").cast("string"))
         // capture provenance columns at scan time — after joins the scan
         // is no longer the unique source for input_file_name()
         .withColumn("__file", input_file_name())
         .withColumn("__ord", monotonically_increasing_id())
+      }
 
     // tag (fused battery)
     val taggers = Option(cfg.get("taggers")).map(_.elements().asScala.map(_.asText()).toSeq)

@@ -458,6 +458,31 @@ class MainSpec extends AnyFunSuite {
       "gamma three\ndelta four")
   }
 
+  test("input id/text accept nested dot-paths (test_nested_struct.py parity)") {
+    // the reference builds msgspec retrievers for dotted field specs
+    // ("a.b" -> unit.a.b, tokenizer/tokenizer.py make_retriever_for_field);
+    // here the same config shape binds through Spark struct resolution
+    val dir = Files.createTempDirectory("graft-nested").toString
+    Seq((1L, "alpha body text", "d1"), (2L, "beta body text", "d2"))
+      .toDF("n", "body", "docid")
+      .select(struct(col("docid").as("id"), col("n")).as("metadata"),
+        struct(col("body").as("text")).as("payload"))
+      .write.parquet(s"$dir/in")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/in",
+         |            "id": "metadata.id", "text": "payload.text"},
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("id").as[String].collect().sorted.toSeq == Seq("d1", "d2"))
+    assert(out.select("content").as[String].collect().toSet ==
+      Set("alpha body text", "beta body text"))
+    // the parent structs ride through untouched (extraction, not rename)
+    assert(out.columns.contains("metadata") && out.columns.contains("payload"))
+  }
+
   test("output options: discard_fields, compression, max_records_per_file") {
     val dir = Files.createTempDirectory("graft-outopts").toString
     Seq(("a", "one text", "r1"), ("b", "two text", "r2"), ("c", "three text", "r3"))
