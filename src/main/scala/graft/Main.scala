@@ -271,6 +271,13 @@ object Main {
         Some(TagRunner.tag(docs, taggers, experiment, taggerModules = taggerModules))
       else None
 
+    // an enabled analyze block with no file-backed "attributes" list will
+    // read this run's in-flight attribute column — a SECOND evaluation of
+    // everything under it unless the attrs are pinned (below)
+    val analyzeInFlight = Option(cfg.get("analyze"))
+      .filter(a => Option(a.get("enabled")).forall(_.asBoolean(true)))
+      .exists(a => Option(a.get("attributes")).isEmpty)
+
     // attribute sink: when requested, write ONCE and merge from the
     // written files so the tagger battery never evaluates twice
     val attrsForMerge = attrs.map { a =>
@@ -282,7 +289,12 @@ object Main {
           val all = spark.read.parquet(p.asText())
           if (resuming) all.join(docs.select(col("id")), Seq("id"), "left_semi")
           else all
-        case None => a
+        case None =>
+          // no attribute sink but analyze will read the in-flight frame:
+          // pin the (id, attributes) rows — narrow, no text — so the
+          // battery runs once instead of once for the analyze collect and
+          // again for the output write
+          if (analyzeInFlight) a.localCheckpoint() else a
       }
     }
 
@@ -358,7 +370,7 @@ object Main {
     // two extra passes over the docs — run Bloom dedupe as its own config
     // (the reference's `dolma dedupe` is its own CLI step for the same
     // reason).
-    require(!dedupMode.startsWith("bloom") ||
+    require(!dedupEnabled || !dedupMode.startsWith("bloom") ||
       dedupeNode.exists(d => d.has("bloom_filter")),
       s"""dedupe mode "$dedupMode" requires a "bloom_filter" block""")
     val (bloomAttr: Option[DataFrame], bloomCommit: Option[() => Unit]) =
@@ -442,8 +454,21 @@ object Main {
       }
     }.getOrElse((None, None))
 
+    // WARC doc ids are payload digests (reference record_info.py:28), so
+    // byte-identical captures share an id — expected on real CommonCrawl
+    // (boilerplate/error pages). An id-keyed attribute join would fan
+    // those out (N docs × N attr rows). Identical payloads produce
+    // identical attribute rows, so collapsing each attr table to one row
+    // per id is lossless and restores the 1-row-per-doc join shape. The
+    // groupBy shuffles on the same key as the merge join — Catalyst
+    // reuses the exchange.
+    def onePerId(t: DataFrame): DataFrame =
+      if (isWarc) t.groupBy(col("id"))
+        .agg(first(col("attributes")).as("attributes"))
+      else t
     var withAttrs = Mixer.mergeAttributes(docs,
-      attrsLoaded ++ attrsForMerge.toSeq ++ dedupAttr ++ bloomAttr)
+      (attrsLoaded ++ attrsForMerge.toSeq ++ dedupAttr ++ bloomAttr)
+        .map(onePerId))
     // fold the WARC extraction's own attributes in (they were computed in
     // the same scan; later maps win on duplicate keys, like mergeAttributes)
     if (isWarc) {
@@ -640,8 +665,13 @@ object Main {
     }
     outFormat match {
       case "jsonl" =>
+        // dolma document format names the text field "text"
+        // (docs/data-format.md); the pipeline's internal name is
+        // "content", so the jsonl egress renames — the reference's own
+        // consumers (and this engine's readDocuments) expect "text"
         writeCommitted((path, mode) =>
-          graft.sources.Jsonl.writeDocuments(mixed, path,
+          graft.sources.Jsonl.writeDocuments(
+            mixed.withColumnRenamed("content", "text"), path,
             codec = outCodec.getOrElse("gzip"), mode = mode,
             maxRecordsPerFile = maxRecords.getOrElse(0L)), outPath)
       case "table" =>
@@ -702,7 +732,10 @@ object Main {
       .foreach { t =>
         val dest = t.get("destination").asText()
         val docsOut = outFormat match {
+          // the jsonl egress wrote dolma format ("text"); the internal
+          // name is "content" — normalize on read-back
           case "jsonl" => graft.sources.Jsonl.readDocuments(spark, outPath)
+            .withColumnRenamed("text", "content")
           case "table" => spark.read.table(outPath)
           case _ => spark.read.parquet(outPath)
         }

@@ -402,7 +402,12 @@ object ScalingBench {
     // scaling evidence across re-runs
     val attachments = Seq("BENCH/DIAGNOSIS.md", "BENCH/VARIANCE.md")
       .map(Paths.get(_)).filter(Files.exists(_))
-    val full = (md +: attachments.map(Files.readString)).mkString("\n")
+    // the settled north-rule verdict LEADS the file (BENCH/NORTHRULE.md,
+    // maintained by hand): a fresh invocation's raw headline must never
+    // bury the cross-round conclusion again
+    val verdict = Some(Paths.get("BENCH/NORTHRULE.md")).filter(Files.exists(_))
+      .map(Files.readString).toSeq
+    val full = (verdict ++ Seq(md) ++ attachments.map(Files.readString)).mkString("\n")
     Files.writeString(Paths.get("BENCH/BASELINE.md"), full)
     println(md)
     println(f"""{"metric":"scaling_efficiency","value":$effP28,"unit":"ratio","tag_efficiency":$effT28,"pipeline_eff_8_32":$effP832,"tag_eff_8_32":$effT832,"docs":$nDocs,"all_legs_clean":$allClean,"ambient_alu_ratio":$gateRatio%.3f}""")

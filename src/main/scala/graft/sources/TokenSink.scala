@@ -179,6 +179,11 @@ object TokenSink {
     // truth — stray files in the dir are not part of the dataset)
     val shardNames = metadata.select(col("shard")).distinct()
       .collect().map(_.getString(0)).sorted
+    // empty dataset (e.g. the mixer filtered every document): nothing to
+    // merge, and repartition(0) below would throw — return the empty
+    // metadata in the output shape
+    if (shardNames.isEmpty)
+      return metadata.select(col("id"), col("shard"), col("start"), col("end"))
     val sized = shardNames.map { s =>
       s -> fs.getFileStatus(new org.apache.hadoop.fs.Path(srcDir, s)).getLen
     }

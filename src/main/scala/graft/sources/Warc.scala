@@ -378,20 +378,32 @@ object Warc {
   }
 
   /** Dolma's near-ISO-8601 timestamp (processor.py:46-50): millisecond
-    * precision + 'Z'. Accepts ISO and RFC-1123 (HTTP `Date:`) inputs —
-    * the two shapes `DATE_FORMATS` (record_info.py:15) admits — and, like
-    * the reference's `datetime.now()` fallback, stamps the current time
-    * when the input is absent or unparseable. */
-  def dolmaTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    * precision + 'Z'. The reference parses dates with the lenient
+    * `dateparser` library (record_info.py:57, hinted by DATE_FORMATS =
+    * RFC-1123 / ISO) and falls back to `datetime.now()` only when parsing
+    * fails entirely. This accepts the same shapes real HTTP `Date:`
+    * headers take — ISO, RFC-1123 with a zone name OR a numeric offset
+    * (`+0200`), RFC-850 (`Sunday, 06-Nov-94`), and asctime
+    * (`Sun Nov  6 08:49:37 1994`), all HTTP/1.1-mandated accept-forms —
+    * before stamping the current time, so a merely-foreign offset never
+    * silently becomes extraction time. */
+  def dolmaTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // Spark 3+ patterns reject 'E' (day-of-week) and zone-NAME parsing:
+    // strip the redundant weekday prefix and GMT/UTC suffix, collapse
+    // asctime's double space; numeric offsets stay for the 'Z' patterns
+    // (parsed then rendered in session time — UTC on this engine).
+    val s = regexp_replace(
+      regexp_replace(c, "^[A-Za-z]+,?\\s+|\\s+(GMT|UTC)$", ""),
+      "\\s{2,}", " ")
     concat(date_format(coalesce(
-      try_to_timestamp(c),
-      // RFC-1123 HTTP dates are always "EEE, dd MMM yyyy HH:mm:ss GMT";
-      // Spark 3+ patterns reject 'E' (day-of-week) and zone-name parsing,
-      // so strip the redundant weekday prefix and GMT/UTC suffix first.
-      try_to_timestamp(
-        regexp_replace(c, "^[A-Za-z]{3},\\s*|\\s*(GMT|UTC|[+-]0000)$", ""),
-        lit("dd MMM yyyy HH:mm:ss")),
+      try_to_timestamp(c),                                        // ISO
+      try_to_timestamp(s, lit("dd MMM yyyy HH:mm:ss")),           // RFC 1123, zone name stripped
+      try_to_timestamp(s, lit("dd MMM yyyy HH:mm:ss Z")),         // RFC 1123, numeric offset
+      try_to_timestamp(s, lit("dd-MMM-yy HH:mm:ss")),             // RFC 850
+      try_to_timestamp(s, lit("dd-MMM-yyyy HH:mm:ss")),           // RFC-850 4-digit variant
+      try_to_timestamp(s, lit("MMM d HH:mm:ss yyyy")),            // asctime
       current_timestamp()), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z"))
+  }
 }
 
 /** Real HTML → text linearizer (stand-in for resiliparse's

@@ -504,6 +504,97 @@ class MainSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  test("jsonl output is dolma format (text field) and feeds the tokens stage") {
+    val dir = Files.createTempDirectory("graft-jsonl-tok").toString
+    Seq(("a", "alpha body"), ("b", "beta body text"))
+      .toDF("id", "content").write.parquet(s"$dir/in")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/in", "id": "id", "text": "content"},
+         |  "output": {"path": "$dir/out", "format": "jsonl", "compression": "none"},
+         |  "tokens": {"destination": "$dir/tokens", "vocab_size": 65536}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    // the written documents carry dolma's canonical "text" field, not the
+    // pipeline-internal "content"
+    val out = spark.read.json(s"$dir/out")
+    assert(out.columns.contains("text") && !out.columns.contains("content"))
+    assert(out.select("text").as[String].collect().toSet ==
+      Set("alpha body", "beta body text"))
+    // and the tokens stage read the jsonl output back without error
+    val meta = spark.read.parquet(s"$dir/tokens/metadata")
+    assert(meta.count() == 2)
+    assert(meta.select((col("end") - col("start")).as("n")).as[Long]
+      .collect().forall(_ > 0))
+  }
+
+  test("warc duplicate payload digests: attribute merge never fans out rows") {
+    // byte-identical captures share a payload digest — and therefore a
+    // dolma doc id (record_info.py:28). The id-keyed attribute join must
+    // not multiply those docs (2 docs x 2 attr rows = 4 was the hazard).
+    val dir = Files.createTempDirectory("graft-warc-dup").toString
+    def rec(uri: String, body: String, digest: String): Array[Byte] = {
+      val html = s"<html><body><p>$body</p></body></html>"
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      val payload = (http + html).getBytes("ISO-8859-1")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
+        s"WARC-Target-URI: http://$uri/\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Payload-Digest: sha1:$digest\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes
+    }
+    // two identical error pages from different hosts + one distinct page
+    Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      rec("hosta.com", "404 not found page", "SAMEDIGEST") ++
+        rec("hostb.com", "404 not found page", "SAMEDIGEST") ++
+        rec("hostc.com", "a genuinely distinct document", "OTHERDIGEST"))
+    val config =
+      s"""{
+         |  "input": {"format": "warc", "path": "$dir/a.warc"},
+         |  "taggers": ["char_length_v1"],
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3) // NOT 5 (2x2 fan-out + 1)
+    assert(out.filter(col("id") === "samedigest").count() == 2)
+  }
+
+  test("dedupe enabled=false with a bloom mode is inert, not a crash") {
+    val dir = Files.createTempDirectory("graft-bloom-off").toString
+    Seq(("d1", "some text")).toDF("id", "content").write.parquet(s"$dir/in")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/in", "id": "id", "text": "content"},
+         |  "dedupe": {"enabled": false, "mode": "bloom"},
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    assert(spark.read.parquet(s"$dir/out").count() == 1)
+  }
+
+  test("analyze over in-flight attributes runs the tagger battery once") {
+    CountingTagger.calls.set(0)
+    val dir = Files.createTempDirectory("graft-analyze-once").toString
+    Seq(("a", "first doc"), ("b", "second doc"), ("c", "third doc"))
+      .toDF("id", "content").write.parquet(s"$dir/in")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/in", "id": "id", "text": "content"},
+         |  "tagger_modules": ["graft.CountingTaggerModule"],
+         |  "taggers": ["counting_v1"],
+         |  "analyze": {"enabled": true, "report": "$dir/report.txt"},
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    assert(spark.read.parquet(s"$dir/out").count() == 3)
+    // without the localCheckpoint pin the battery would evaluate once for
+    // the analyze collect and again for the output write (6 calls)
+    assert(CountingTagger.calls.get() == 3,
+      s"battery ran ${CountingTagger.calls.get()} predicts for 3 docs")
+  }
+
   test("bloom config errors are loud: missing bloom_filter block, unknown key") {
     val dir = Files.createTempDirectory("graft-bloom-err").toString
     Seq(("d1", "text")).toDF("id", "content").write.parquet(s"$dir/in")
@@ -563,4 +654,21 @@ class MainSpec extends AnyFunSuite {
     assert(report.contains("e__char_length_v1__length/score"))
     assert(report.contains("count")) // table header rendered
   }
+}
+
+/** Counts predict() invocations so MainSpec can assert the battery ran
+  * exactly once per document (local[*] shares the JVM with the driver). */
+object CountingTagger {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+class CountingTaggerModule extends graft.taggers.TaggerModule {
+  def register(): Unit =
+    graft.taggers.TaggerRegistry.register("counting_v1")(new graft.taggers.Tagger {
+      def name: String = "counting_v1"
+      def predict(text: String, meta: Map[String, String]): Vector[graft.core.Span] = {
+        CountingTagger.calls.incrementAndGet()
+        Vector(graft.core.Span(0, text.length.toLong, "len", text.length.toDouble))
+      }
+    })
 }

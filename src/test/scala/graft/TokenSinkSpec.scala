@@ -140,6 +140,17 @@ class TokenSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("reshard of an empty dataset returns empty metadata (no repartition(0) crash)") {
+    val src = Files.createTempDirectory("graft-reshard-e").toString
+    val dst = Files.createTempDirectory("graft-reshard-ed").toString
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Long, Long)]
+      .toDF("id", "shard", "start", "end")
+    val out = TokenSink.reshard(spark, src, empty, dst, minSizeBytes = 1024)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("id", "shard", "start", "end"))
+  }
+
   test("dolma-layout export: .npy byte-identical, .csv.gz sidecar rows match metadata") {
     val dir = Files.createTempDirectory("graft-tokens-dolma-src").toString
     val dest = Files.createTempDirectory("graft-tokens-dolma-out").toString

@@ -299,4 +299,28 @@ class WarcSpec extends AnyFunSuite {
     assert(s1(2).getAs[Map[String, Any]]("attributes")
       .contains("cc_re__cc_re__cc_by_4_0"))
   }
+
+  test("dolmaTimestamp: every HTTP/1.1 Date accept-form parses (no now() fallback)") {
+    import org.apache.spark.sql.functions.col
+    // RFC 1123 zone name / numeric offsets, RFC 850, asctime — the forms
+    // the reference's lenient dateparser accepts (record_info.py:57);
+    // only genuine garbage may fall back to the current timestamp
+    val vectors = Seq(
+      "Tue, 15 Nov 1994 08:12:31 GMT" -> "1994-11-15T08:12:31.000Z",
+      "Tue, 15 Nov 1994 08:12:31 +0000" -> "1994-11-15T08:12:31.000Z",
+      "Tue, 15 Nov 1994 08:12:31 +0200" -> "1994-11-15T06:12:31.000Z", // UTC session
+      "Sunday, 06-Nov-94 08:49:37 GMT" -> "2094-11-06T08:49:37.000Z", // DTF 'yy' base 2000
+      "Sunday, 06-Nov-1994 08:49:37 GMT" -> "1994-11-06T08:49:37.000Z",
+      "Sun Nov  6 08:49:37 1994" -> "1994-11-06T08:49:37.000Z",
+      "2024-02-03T04:05:06Z" -> "2024-02-03T04:05:06.000Z")
+    import spark.implicits._
+    val got = vectors.map(_._1).toDF("d")
+      .select(Warc.dolmaTimestamp(col("d"))).as[String].collect()
+    assert(got.toSeq == vectors.map(_._2))
+    // garbage falls back to a CURRENT timestamp (reference parity), never
+    // an error or a null
+    val fb = Seq("not a date").toDF("d")
+      .select(Warc.dolmaTimestamp(col("d"))).as[String].head()
+    assert(fb.startsWith("20") && fb.endsWith("Z"))
+  }
 }
