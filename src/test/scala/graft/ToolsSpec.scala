@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Binning.Summary
-import graft.tools.AnalyzerReport
+import graft.tools.{AnalyzerReport, ListTaggers}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -21,6 +21,21 @@ class ToolsSpec extends AnyFunSuite {
       Seq("1.0e+00", "1.0e+00"))
     assert(AnalyzerReport.roundValuesForVisual(Seq(1.00001, 1.00002)) ==
       Seq("1.0000", "1.0000"))
+  }
+
+  test("list taggers: sorted registry with classes, modules imported first") {
+    val rows = ListTaggers.listing(Seq("graft.CountingTaggerModule"))
+    val names = rows.map(_._1)
+    assert(names == names.sorted)
+    // builtins present with their implementing class
+    assert(rows.exists { case (n, c) =>
+      n == "gopher_v2" && c.contains("Gopher") })
+    // the imported module's tagger is listed too (dolma list's
+    // tagger_modules semantics, cli/tagger.py:159-161)
+    assert(names.contains("counting_v1"))
+    val table = ListTaggers.render(rows)
+    assert(table.exists(_.contains("| name")))
+    assert(table.exists(_.contains("gopher_v2")))
   }
 
   test("sum footer: sci past 10 digits, comma-grouped integers, else 2dp") {
