@@ -399,7 +399,12 @@ object Warc {
       try_to_timestamp(c),                                        // ISO
       try_to_timestamp(s, lit("dd MMM yyyy HH:mm:ss")),           // RFC 1123, zone name stripped
       try_to_timestamp(s, lit("dd MMM yyyy HH:mm:ss Z")),         // RFC 1123, numeric offset
-      try_to_timestamp(s, lit("dd-MMM-yy HH:mm:ss")),             // RFC 850
+      // RFC 850 two-digit years: Java's 'yy' bases at 2000, but HTTP/1.1
+      // (RFC 9110 §5.6.7) mandates the POSIX reading — a year that looks
+      // >50 years in the future is the previous century
+      { val t = try_to_timestamp(s, lit("dd-MMM-yy HH:mm:ss"))
+        when(t > current_timestamp() + expr("INTERVAL 50 YEARS"),
+          t - expr("INTERVAL 100 YEARS")).otherwise(t) },
       try_to_timestamp(s, lit("dd-MMM-yyyy HH:mm:ss")),           // RFC-850 4-digit variant
       try_to_timestamp(s, lit("MMM d HH:mm:ss yyyy")),            // asctime
       current_timestamp()), "yyyy-MM-dd'T'HH:mm:ss.SSS"), lit("Z"))

@@ -11,19 +11,23 @@ import graft.taggers.TaggerRegistry
   */
 object ListTaggers {
 
-  /** (name, implementing class) for every registered tagger, sorted. */
+  /** (name, implementing class) for every registered tagger, sorted.
+    * Resolving invokes the factory (the registry stores factories, not
+    * classes; models behind them are lazy so this is cheap) — a factory
+    * that throws on this machine lists as unavailable instead of
+    * aborting the whole table. */
   def listing(modules: Seq[String] = Nil): Seq[(String, String)] = {
     TaggerRegistry.importModules(modules)
     TaggerRegistry.names.map { n =>
-      n -> TaggerRegistry.resolve(n).getClass.getName
+      n -> (scala.util.Try(TaggerRegistry.resolve(n).getClass.getName)
+        .recover { case e => s"UNAVAILABLE: ${e.getMessage}" }.get)
     }
   }
 
   /** Fixed-width table lines (the reference renders a rich.Table; the
     * information content — sorted name + class columns — is the same). */
-  def render(rows: Seq[(String, String)],
-      title: String = "graft taggers"): Seq[String] = {
-    val header = ("name", "class")
+  def render(rows: Seq[(String, String)], title: String = "graft taggers",
+      header: (String, String) = ("name", "class")): Seq[String] = {
     val w1 = (header._1 +: rows.map(_._1)).map(_.length).max
     val w2 = (header._2 +: rows.map(_._2)).map(_.length).max
     def line(a: String, b: String) = s"| ${a.padTo(w1, ' ')} | ${b.padTo(w2, ' ')} |"
@@ -35,8 +39,8 @@ object ListTaggers {
   def main(args: Array[String]): Unit = {
     render(listing(args.toSeq)).foreach(println)
     val scoped = TaggerRegistry.scopedOutAliases.toSeq.sortBy(_._1)
-      .map { case (n, (eq, _)) => n -> s"scoped out — use $eq" }
-    render(scoped, title = "\nreference names scoped out (with equivalents)")
-      .foreach(println)
+      .map { case (n, (eq, why)) => n -> s"$why — use $eq" }
+    render(scoped, title = "\nreference names scoped out (with equivalents)",
+      header = ("name", "status")).foreach(println)
   }
 }

@@ -309,7 +309,8 @@ class WarcSpec extends AnyFunSuite {
       "Tue, 15 Nov 1994 08:12:31 GMT" -> "1994-11-15T08:12:31.000Z",
       "Tue, 15 Nov 1994 08:12:31 +0000" -> "1994-11-15T08:12:31.000Z",
       "Tue, 15 Nov 1994 08:12:31 +0200" -> "1994-11-15T06:12:31.000Z", // UTC session
-      "Sunday, 06-Nov-94 08:49:37 GMT" -> "2094-11-06T08:49:37.000Z", // DTF 'yy' base 2000
+      "Sunday, 06-Nov-94 08:49:37 GMT" -> "1994-11-06T08:49:37.000Z", // POSIX century rule
+      "Sunday, 06-Nov-30 08:49:37 GMT" -> "2030-11-06T08:49:37.000Z",
       "Sunday, 06-Nov-1994 08:49:37 GMT" -> "1994-11-06T08:49:37.000Z",
       "Sun Nov  6 08:49:37 1994" -> "1994-11-06T08:49:37.000Z",
       "2024-02-03T04:05:06Z" -> "2024-02-03T04:05:06.000Z")
