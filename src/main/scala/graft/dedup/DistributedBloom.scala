@@ -64,14 +64,27 @@ object DistributedBloom {
     val spark = keys.sparkSession
     import spark.implicits._
     val perShard = math.max(64L, expectedItems / shards)
+    // shuffle RAW keys to their shard's partition, then build each shard's
+    // filter inside one task. Map-side combining (aggregateByKey) would
+    // instantiate a full-size filter for EVERY shard each map task sees —
+    // per-task memory = the whole m bits, exactly the blow-up sharding
+    // exists to avoid; raw-key shuffle keeps per-task memory at one
+    // shard's filter, corpus-size-independent as documented above.
     keys.rdd.map(k => (shardOf(k, shards), k))
-      .aggregateByKey(BloomFilter.create(perShard, fpRate), shards)(
-        seqOp = (bf, k) => { bf.putString(k); bf },
-        combOp = (a, b) => { a.mergeInPlace(b); a })
-      .map { case (s, bf) =>
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos)
-        (s, bos.toByteArray)
+      .partitionBy(new org.apache.spark.HashPartitioner(shards))
+      .mapPartitions { it =>
+        // Int.hashCode is the identity, so partition i holds exactly
+        // shard i — the map is defensive, never >1 entry
+        val filters = scala.collection.mutable.Map.empty[Int, BloomFilter]
+        it.foreach { case (s, k) =>
+          filters.getOrElseUpdate(s, BloomFilter.create(perShard, fpRate))
+            .putString(k)
+        }
+        filters.iterator.map { case (s, bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (s, bos.toByteArray)
+        }
       }.toDS()
   }
 
@@ -96,6 +109,13 @@ object DistributedBloom {
     val Version = "v(\\d+)-s(\\d+)".r
     val versions = fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
       case n @ Version(ts, s) => (ts.toLong, s.toInt, n)
+    }.filter { case (_, _, n) =>
+      // only COMMITTED versions qualify: the directory exists from job
+      // start, so a crashed or in-flight saveState would otherwise be
+      // selected as "latest" and either fail the read or silently load a
+      // partial shard table. Spark's committer drops _SUCCESS only after
+      // the full commit.
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$n/_SUCCESS"))
     }
     versions.sortBy(_._1).lastOption.map { case (_, shards, name) =>
       (spark.read.parquet(s"$dir/$name").as[(Int, Array[Byte])], shards)

@@ -75,6 +75,9 @@ object FtDataset {
         concat(lit("__label__" + label + " "), col("__seg")).as("line"))
     nSegments match {
       case Some(n) =>
+        // limit() takes an Int: a larger cap would silently wrap/truncate
+        require(n > 0 && n <= Int.MaxValue,
+          s"nSegmentsPerClass must be in (0, ${Int.MaxValue}], got $n")
         // deterministic stand-in for the reference's first-n race: the n
         // smallest lines by md5 — plans as TakeOrderedAndProject, no sort
         // shuffle.

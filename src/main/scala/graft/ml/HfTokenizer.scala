@@ -30,7 +30,11 @@ final class HfTokenizer(
     byteFallback: Boolean = false,
     addedTokens: Vector[(String, Int)] = Vector.empty,
     unkId: Option[Int] = None,
-    val hasPrefix: Boolean = false) extends Serializable {
+    val hasPrefix: Boolean = false,
+    // pre-tokenizer-side add_prefix_space (distinct from the Prepend
+    // NORMALIZER, which normalize() applies): the ByteLevel pre-tokenizer
+    // prepends ' ' to each segment that doesn't already start with one
+    byteLevelPrefix: Boolean = false) extends Serializable {
 
   def vocabSize: Int = vocab.size
 
@@ -56,63 +60,35 @@ final class HfTokenizer(
       }
     }
 
-  /** One pre-token piece: bytes → byte-level chars → merge loop → ids. */
+  /** One pre-token piece: bytes → byte-level chars → merge loop → ids.
+    * Uses the same O(n log n) PQ merge as the char-level path — real web
+    * documents contain 100 KB single pieces (ASCII-art/separator/gibberish
+    * letter- or punctuation-runs match one GPT-2 regex piece), where a
+    * naive lowest-rank rescan loop is O(n²) and stalls an executor core
+    * for minutes on one document. */
   private def encodePiece(piece: String): Vector[Int] = {
     val bytes = piece.getBytes("UTF-8")
     if (bytes.isEmpty) return Vector.empty
-    var syms = new mutable.ArrayBuffer[String](bytes.length)
-    bytes.foreach(b => syms += HfTokenizer.byteToChar(b & 0xff))
-    var done = false
-    while (!done && syms.length >= 2) {
-      var best = Int.MaxValue
-      var bestAt = -1
-      var j = 0
-      while (j < syms.length - 1) {
-        ranks.get((syms(j), syms(j + 1))) match {
-          case Some(r) if r < best => best = r; bestAt = j
-          case _ =>
-        }
-        j += 1
-      }
-      if (bestAt < 0) done = true
-      else {
-        val a = syms(bestAt); val b = syms(bestAt + 1); val merged = a + b
-        val out = new mutable.ArrayBuffer[String](syms.length)
-        var k = 0
-        while (k < syms.length) {
-          if (k < syms.length - 1 && syms(k) == a && syms(k + 1) == b) {
-            out += merged; k += 2
-          } else { out += syms(k); k += 1 }
-        }
-        syms = out
-      }
-    }
-    syms.iterator.map { s =>
+    val init = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { init(i) = HfTokenizer.byteToChar(bytes(i) & 0xff); i += 1 }
+    pqMerge(init).map { s =>
       vocab.getOrElse(s, throw new NoSuchElementException(
         s"token '$s' not in vocab (${vocab.size} entries) — the vocab file " +
           "does not cover its own byte-level alphabet"))
     }.toVector
   }
 
-  /** Char-level BPE over the normalized text (the SentencePiece-style
-    * llama family: no pre-tokenizer, the WHOLE document is one merge
-    * arena). The naive lowest-rank rescan loop is O(n²) on documents, so
-    * this path uses the standard linked-list + priority-queue merge:
-    * candidates ordered by (rank, leftmost position), validated against
-    * staleness on pop — O(n log n), same result (each BPE pair has a
-    * unique rank, so pop order is deterministic). */
-  private def encodeChars(s: String): Vector[Int] = {
-    if (s.isEmpty) return Vector.empty
-    // initial symbols: one per code point
-    val init = new mutable.ArrayBuffer[String](s.length)
-    var ci = 0
-    while (ci < s.length) {
-      val cp = s.codePointAt(ci)
-      init += new String(Character.toChars(cp))
-      ci += Character.charCount(cp)
-    }
+  /** Lowest-rank-first BPE merge via linked list + priority queue,
+    * O(n log n): candidates ordered by (rank, leftmost position),
+    * validated against staleness on pop. Each BPE pair has a unique rank,
+    * so the pop order reproduces the lowest-rank-leftmost rescan exactly.
+    * Shared by the byte-level piece path and the char-level
+    * (SentencePiece-family) path. Returns surviving symbols in order. */
+  private def pqMerge(init: Array[String]): Iterator[String] = {
     val n = init.length
-    val syms = init.toArray
+    if (n == 0) return Iterator.empty
+    val syms = init.clone()
     val next = Array.tabulate(n)(i => if (i == n - 1) -1 else i + 1)
     val prev = Array.tabulate(n)(i => i - 1)
     val alive = Array.fill(n)(true)
@@ -140,24 +116,42 @@ final class HfTokenizer(
         push(c.pos)
       }
     }
+    val out = Vector.newBuilder[String]
+    var j = 0
+    while (j >= 0) { if (alive(j)) out += syms(j); j = next(j) }
+    out.result().iterator
+  }
+
+  /** Char-level BPE over the normalized text (the SentencePiece-style
+    * llama family: no pre-tokenizer, the WHOLE document is one merge
+    * arena). The naive lowest-rank rescan loop is O(n²) on documents, so
+    * this path uses the standard linked-list + priority-queue merge:
+    * candidates ordered by (rank, leftmost position), validated against
+    * staleness on pop — O(n log n), same result (each BPE pair has a
+    * unique rank, so pop order is deterministic). */
+  private def encodeChars(s: String): Vector[Int] = {
+    if (s.isEmpty) return Vector.empty
+    // initial symbols: one per code point
+    val init = new mutable.ArrayBuffer[String](s.length)
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      init += new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+    }
     val out = Vector.newBuilder[Int]
-    var i = 0
-    while (i >= 0) {
-      if (alive(i)) {
-        val t = syms(i)
-        vocab.get(t) match {
-          case Some(id) => out += id
-          case None if byteFallback =>
-            t.getBytes("UTF-8").foreach { b =>
-              val bt = f"<0x${b & 0xff}%02X>"
-              out += vocab.getOrElse(bt, throw new NoSuchElementException(
-                s"byte-fallback token '$bt' missing from vocab"))
-            }
-          case None => out += unkId.getOrElse(throw new NoSuchElementException(
-            s"token '$t' not in vocab and no unk_token defined"))
-        }
+    pqMerge(init.toArray).foreach { t =>
+      vocab.get(t) match {
+        case Some(id) => out += id
+        case None if byteFallback =>
+          t.getBytes("UTF-8").foreach { b =>
+            val bt = f"<0x${b & 0xff}%02X>"
+            out += vocab.getOrElse(bt, throw new NoSuchElementException(
+              s"byte-fallback token '$bt' missing from vocab"))
+          }
+        case None => out += unkId.getOrElse(throw new NoSuchElementException(
+          s"token '$t' not in vocab and no unk_token defined"))
       }
-      i = next(i)
     }
     out.result()
   }
@@ -167,7 +161,15 @@ final class HfTokenizer(
     * intervening segment through the configured pipeline. */
   private def encodeSegment(seg: String): Iterator[Int] =
     if (pretokKind == "char") encodeChars(normalize(seg)).iterator
-    else pretokenize(normalize(seg)).iterator.flatMap(encodePiece)
+    else {
+      val norm = normalize(seg)
+      // ByteLevel add_prefix_space (HF ByteLevel pre-tokenizer): prepend
+      // ' ' unless the segment already starts with one — without this,
+      // the first token of every document differs from the reference ids
+      val pre = if (byteLevelPrefix && norm.nonEmpty && !norm.startsWith(" "))
+        " " + norm else norm
+      pretokenize(pre).iterator.flatMap(encodePiece)
+    }
 
   def encode(text: String): Array[Int] = {
     if (text.isEmpty) return Array.empty
@@ -321,8 +323,26 @@ object HfTokenizer {
     val pretokKind =
       if (preNode == null || preNode.isNull) "char"
       else Option(preNode.get("type")).map(_.asText()) match {
-        case Some("Sequence") => "olmo"
-        case _ => "gpt2"
+        case Some("ByteLevel") => "gpt2"
+        case Some("Sequence") =>
+          // the Sequence pipeline implemented here is the OLMo/GPT-NeoX
+          // shape (Split regex + ByteLevel); anything else would silently
+          // encode to wrong ids
+          val members = Option(preNode.get("pretokenizers")).toList
+            .flatMap(_.elements().asScala)
+            .map(m => Option(m.get("type")).map(_.asText()).getOrElse("?"))
+          require(members.nonEmpty && members.forall(Set("Split", "ByteLevel")),
+            s"unsupported pre_tokenizer Sequence members $members " +
+              "(only Split + ByteLevel)")
+          "olmo"
+        case other =>
+          // a Metaspace/Whitespace/Digits file treated as byte-level
+          // would produce wrong ids with no error — reject loudly, like
+          // the normalizer path does
+          throw new IllegalArgumentException(
+            s"unsupported pre_tokenizer type ${other.getOrElse("<missing>")} " +
+              "(supported: ByteLevel, Sequence(Split+ByteLevel), or absent " +
+              "for the SentencePiece char-level family)")
       }
     def normList(n: com.fasterxml.jackson.databind.JsonNode): List[(String, String, String)] =
       Option(n).filterNot(_.isNull).toList.flatMap { node =>
@@ -353,10 +373,11 @@ object HfTokenizer {
       n != null && !n.isNull && (
         Option(n.get("add_prefix_space")).exists(_.asBoolean(false)) ||
           Option(n.get("pretokenizers")).exists(_.elements().asScala.exists(anyPrefixSpace)))
-    val hasPrefix = anyPrefixSpace(preNode) ||
-      normOps.exists(_._1 == "Prepend")
+    val preSpace = anyPrefixSpace(preNode)
+    val hasPrefix = preSpace || normOps.exists(_._1 == "Prepend")
     new HfTokenizer(fullVocab, fullVocab.map(_.swap), merges, pretokKind,
-      normOps, byteFallback, added, unkId, hasPrefix)
+      normOps, byteFallback, added, unkId, hasPrefix,
+      byteLevelPrefix = preSpace)
   }
 
   def load(path: String): HfTokenizer =

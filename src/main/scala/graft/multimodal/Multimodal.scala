@@ -110,9 +110,13 @@ object Multimodal {
       extends MediaDecoder {
     def decode(mediaType: String, format: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
       if (mediaType != "image") return fallback.decode(mediaType, format, payload)
+      // NonFatal, not just IOException: the JDK readers throw unchecked
+      // exceptions (IndexOutOfBounds, NegativeArraySize, IllegalArgument)
+      // on malformed crawl payloads — one corrupt image must fall back,
+      // not kill the job
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return fallback.decode(mediaType, format, payload)
       (img.getWidth, img.getHeight, 1, lumaGrid4x4(img))
     }
@@ -144,21 +148,29 @@ object Multimodal {
         val fmt = stream.getFormat
         val channels = fmt.getChannels
         val sampleRate = fmt.getSampleRate.toInt
-        val nFrames = stream.getFrameLength.toInt
         val bytes = stream.readAllBytes()
+        val frameSize = math.max(1, fmt.getFrameSize)
+        // trust the BYTES, not the header: a hostile/corrupt header can
+        // claim ~4 GB of frames — header-derived counts overflow the
+        // segment math into negative array indices (or burn ~1e9 no-op
+        // iterations). Frames are whatever the payload actually holds.
+        val claimed = stream.getFrameLength // may be NOT_SPECIFIED (-1)
+        val nFrames = math.min(
+          if (claimed < 0) Long.MaxValue else claimed,
+          bytes.length.toLong / frameSize).toInt
         val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
         val big = fmt.isBigEndian
         val emb = new Array[Float](16)
         if (nFrames > 0 && bytesPerSample == 2) {
           var seg = 0
           while (seg < 16) {
-            val f0 = seg * nFrames / 16
-            val f1 = math.max((seg + 1) * nFrames / 16, f0 + 1)
+            val f0 = (seg.toLong * nFrames / 16).toInt
+            val f1 = math.max(((seg + 1).toLong * nFrames / 16).toInt, f0 + 1)
             var sumSq = 0.0; var n = 0
             var f = f0
             while (f < math.min(f1, nFrames)) {
               // first channel of the frame
-              val o = f * fmt.getFrameSize
+              val o = f * frameSize
               if (o + 1 < bytes.length) {
                 val s =
                   if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
@@ -173,6 +185,11 @@ object Multimodal {
           }
         }
         (sampleRate, channels, nFrames, emb)
+      } catch {
+        // decode-stage surprises on malformed payloads degrade to the
+        // fallback row, never a task failure
+        case scala.util.control.NonFatal(_) =>
+          fallback.decode(mediaType, format, payload)
       } finally stream.close()
     }
   }
@@ -235,7 +252,7 @@ object Multimodal {
           frames.foreach { f =>
             val img =
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img != null) {
               if (decoded == 0) { w = img.getWidth; h = img.getHeight }
               val g = lumaGrid4x4(img)
@@ -286,6 +303,9 @@ object Multimodal {
     * declared stub path). */
   def sampleFrames(media: DataFrame, everyN: Int,
       decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    // fail fast at the API: 0 would throw a bare 'step cannot be 0' deep
+    // inside a task; negatives would silently emit an empty frame table
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     val enc = RowEncoder.encoderFor(frameSchema)
     media.select("id", "media_type", "format", "payload").mapPartitions { rows =>
       val d = decoder

@@ -37,7 +37,10 @@ object TokenSink {
     * EOS separator appended (the reference requires bos or eos so
     * documents stay separable, executor.py:71-76). Pure Catalyst. */
   def tokenIds(textCol: Column, vocabSize: Int = 1 << 16, appendEos: Boolean = true): Column = {
-    val ws = filter(split(textCol, "\\s+"), w => w =!= "")
+    // null text tokenizes to [eos] like the empty string (the bpe/hf
+    // paths null-guard the same way) — split(null) would propagate null
+    // all the way into the shard writer
+    val ws = filter(split(coalesce(textCol, lit("")), "\\s+"), w => w =!= "")
     val ids = transform(ws, w =>
       (pmod(xxhash64(w), lit(vocabSize - FirstVocabId)) + FirstVocabId).cast("int"))
     if (appendEos) concat(ids, array(lit(EosId))) else ids
@@ -114,6 +117,11 @@ object TokenSink {
         math.max(1, math.ceil(total.toDouble / targetTokensPerShard).toInt)
       }
     val bpt = bytesPerToken
+    // ship the DRIVER's Hadoop conf into tasks: a bare executor-side
+    // Configuration would lose every spark.hadoop.* overlay (object-store
+    // credentials/endpoints) and only work in local mode
+    val sconf = new graft.runtime.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     val out = prepared
       .repartition(shards, xxhash64(col("id")))
       .mapPartitions { rows =>
@@ -123,21 +131,25 @@ object TokenSink {
           val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
           val name = f"shard-$pid%05d-$attempt.bin"
           val path = new org.apache.hadoop.fs.Path(dir, name)
-          // executors don't carry the driver's session; default Hadoop
-          // config resolves standard file:///hdfs:// URIs on cluster nodes
-          val conf = org.apache.spark.sql.SparkSession.getActiveSession
-            .map(_.sparkContext.hadoopConfiguration)
-            .getOrElse(new org.apache.hadoop.conf.Configuration())
-          val fs = path.getFileSystem(conf)
+          val fs = path.getFileSystem(sconf.value)
           val stream = new java.io.BufferedOutputStream(fs.create(path, true), 1 << 16)
           val meta = Vector.newBuilder[(String, String, Long, Long)]
           var written = 0L
           try {
             rows.foreach { row =>
               val id = row.getString(0)
-              val toks = row.getSeq[Int](1)
+              val toks0 = row.getSeq[Int](1)
+              val toks = if (toks0 == null) Seq.empty[Int] else toks0
               val start = written
               toks.foreach { t =>
+                // uint16 cannot hold ids >= 65536 (or negatives) — fail
+                // loudly instead of writing id mod 2^16 into training
+                // shards (the reference raises on the same dtype/vocab
+                // mismatch, executor.py:406-409)
+                if (bpt == 2 && (t >>> 16) != 0)
+                  throw new IllegalArgumentException(
+                    s"token id $t does not fit uint16 (doc $id); " +
+                      "use bytes_per_token = 4 for vocabularies over 65536")
                 stream.write(t & 0xff)
                 stream.write((t >> 8) & 0xff)
                 if (bpt == 4) { stream.write((t >> 16) & 0xff); stream.write((t >> 24) & 0xff) }
@@ -208,24 +220,38 @@ object TokenSink {
       }
     }.toVector
     val src = srcDir // don't close over the FileSystem (not serializable)
+    val sconf = new graft.runtime.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     spark.createDataset(groups.zipWithIndex.map { case (m, gi) =>
         (f"merged-$gi%05d.bin", m.map(_._1): Seq[String]) }.toVector)
       .repartition(groups.size)
       .foreach { case (newName, members) =>
-        val conf = org.apache.spark.sql.SparkSession.getActiveSession
-          .map(_.sparkContext.hadoopConfiguration)
-          .getOrElse(new org.apache.hadoop.conf.Configuration())
         val outPath = new org.apache.hadoop.fs.Path(destDir, newName)
-        val tfs = outPath.getFileSystem(conf)
-        val out = new java.io.BufferedOutputStream(tfs.create(outPath, true), 1 << 16)
+        val tfs = outPath.getFileSystem(sconf.value)
+        // src and dest may live on DIFFERENT filesystems (cluster →
+        // object store): resolve each side's own FS
+        val sfs = new org.apache.hadoop.fs.Path(src).getFileSystem(sconf.value)
+        // the output name must be deterministic (the returned metadata
+        // references it), but two task ATTEMPTS (speculation, zombie
+        // executors) must not interleave writes into it: stream to an
+        // attempt-unique temp name, then rename into place — the same
+        // collision discipline writeShards gets from its attempt-suffixed
+        // names. Attempts write identical bytes, so whichever rename
+        // lands is correct.
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+        val tmpPath = new org.apache.hadoop.fs.Path(destDir, s"$newName.$attempt.tmp")
+        val out = new java.io.BufferedOutputStream(tfs.create(tmpPath, true), 1 << 16)
         try members.foreach { old =>
-          val in = tfs.open(new org.apache.hadoop.fs.Path(src, old))
+          val in = sfs.open(new org.apache.hadoop.fs.Path(src, old))
           try {
             val buf = new Array[Byte](1 << 16)
             var n = in.read(buf)
             while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
           } finally in.close()
         } finally out.close()
+        if (tfs.exists(outPath)) tfs.delete(outPath, false) // stale prior run
+        if (!tfs.rename(tmpPath, outPath)) tfs.delete(tmpPath, false)
+        ()
       }
     val shifts = spark.createDataset(plan)
       .toDF("__new_shard", "shard", "__shift")
@@ -261,34 +287,52 @@ object TokenSink {
       (if (hasPos) col("pos") else lit(-1L)).cast("long").as("pos"))
       .as[(String, String, Long, Long, String, Long)]
     val from = srcDir
+    val sconf = new graft.runtime.SerializableHadoopConf(
+      spark.sparkContext.hadoopConfiguration)
     rows.groupByKey(_._1).flatMapGroups { (shard, it) =>
-      val conf = org.apache.spark.sql.SparkSession.getActiveSession
-        .map(_.sparkContext.hadoopConfiguration)
-        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
       val stem = shard.replaceAll("\\.bin$", "")
       val npyPath = new org.apache.hadoop.fs.Path(destDir, s"$stem.npy")
-      val fs = npyPath.getFileSystem(conf)
-      val out = new java.io.BufferedOutputStream(fs.create(npyPath, true), 1 << 16)
-      try {
-        val in = fs.open(new org.apache.hadoop.fs.Path(from, shard))
+      val fs = npyPath.getFileSystem(sconf.value)
+      val srcFs = new org.apache.hadoop.fs.Path(from).getFileSystem(sconf.value)
+      // attempt-unique temp + rename: two concurrent attempts must not
+      // interleave into the deterministic output names (see reshard)
+      def committed(finalPath: org.apache.hadoop.fs.Path)(
+          write: java.io.OutputStream => Unit): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(destDir,
+          s"${finalPath.getName}.$attempt.tmp")
+        val out = fs.create(tmp, true)
+        try write(out) finally out.close()
+        if (fs.exists(finalPath)) fs.delete(finalPath, false)
+        if (!fs.rename(tmp, finalPath)) fs.delete(tmp, false)
+      }
+      committed(npyPath) { raw =>
+        val out = new java.io.BufferedOutputStream(raw, 1 << 16)
+        val in = srcFs.open(new org.apache.hadoop.fs.Path(from, shard))
         try {
           val buf = new Array[Byte](1 << 16)
           var n = in.read(buf)
           while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-        } finally in.close()
-      } finally out.close()
+        } finally { in.close(); out.flush() }
+      }
+      // RFC-4180 quoting, like the reference's csv.writer: ids/srcs are
+      // arbitrary corpus strings — a comma in a URL id would otherwise
+      // shift every downstream consumer's columns
+      def q(s: String): String =
+        if (s != null && s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
       val csvPath = new org.apache.hadoop.fs.Path(destDir, s"$stem.csv.gz")
-      val gz = new java.util.zip.GZIPOutputStream(fs.create(csvPath, true))
-      val w = new java.io.OutputStreamWriter(gz, "UTF-8")
-      try {
+      committed(csvPath) { raw =>
+        val gz = new java.util.zip.GZIPOutputStream(raw)
+        val w = new java.io.OutputStreamWriter(gz, "UTF-8")
         it.toVector.sortBy(_._3).zipWithIndex.foreach {
           case ((_, id, start, end, src, pos), ordinal) =>
             val p = if (pos >= 0) pos else ordinal.toLong
-            // the reference's csv.writer quotes only when needed; ids/srcs
-            // here are digests/paths without commas or quotes
-            w.write(s"$start,$end,$id,$src,$p\r\n")
+            w.write(s"$start,$end,${q(id)},${q(src)},$p\r\n")
         }
-      } finally w.close()
+        w.flush(); gz.finish()
+      }
       Iterator.single(shard)
     }.collect()
     ()

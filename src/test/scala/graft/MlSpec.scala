@@ -210,6 +210,66 @@ class MlSpec extends AnyFunSuite {
     assert(ba.encode("abc").toSeq == Seq(4)) // a b -> ab (rank 1), ab c -> abc (rank 0)
   }
 
+  test("HfTokenizer: ByteLevel add_prefix_space=true is actually applied") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(graft.ml.HfTokenizer.trivialByteVocabJson(identity))
+    node.get("pre_tokenizer")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("add_prefix_space", true)
+    val tok = graft.ml.HfTokenizer.parse(node.toString)
+    // trivial byte vocab: one token per byte, so the prefix space adds one
+    assert(tok.encode("ab").length == 3)
+    assert(tok.encode("ab").head == ' '.toInt)
+    assert(tok.encode(" ab").length == 3) // already prefixed: not doubled
+    // segmented equality must survive the prefix (the sacrificial-space
+    // merge trick in encodeSegmented)
+    val text = "alpha\nbeta\n\ngamma"
+    assert(tok.encodeSegmented(text).toSeq == tok.encode(text).toSeq)
+    // without the flag, no phantom space
+    val plain = graft.ml.HfTokenizer.parse(
+      graft.ml.HfTokenizer.trivialByteVocabJson(identity))
+    assert(plain.encode("ab").length == 2)
+  }
+
+  test("HfTokenizer: unsupported pre_tokenizer types are rejected loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      graft.ml.HfTokenizer.parse(
+        """{"pre_tokenizer":{"type":"Metaspace"},
+          |"model":{"type":"BPE","vocab":{"a":0},"merges":[]}}""".stripMargin)
+    }
+    assert(ex.getMessage.contains("Metaspace"))
+  }
+
+  test("HfTokenizer: 100k-char single-piece documents encode without O(n^2) stall") {
+    // doubling-chain merges: 'a'*2^k tokens up to 2^17, so a long letter
+    // run exercises real merge depth inside ONE GPT-2 piece — the shape
+    // (ASCII art, separators, gibberish) that stalled the rescan loop
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(graft.ml.HfTokenizer.trivialByteVocabJson(identity))
+    val model = node.get("model")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val vocab = model.get("vocab")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val merges = model.putArray("merges")
+    var tokLen = 1
+    var id = 256
+    while (tokLen < (1 << 15)) { // Jackson caps JSON names at 50k chars
+      val t = "a" * tokLen
+      merges.add(s"$t $t")
+      vocab.put(t * 2, id)
+      id += 1; tokLen *= 2
+    }
+    val tok = graft.ml.HfTokenizer.parse(node.toString)
+    val t0 = System.nanoTime()
+    val n = 100000
+    val ids = tok.encode("a" * n)
+    val secs = (System.nanoTime() - t0) / 1e9
+    // greedy doubling leaves one leftover per set bit below the max token
+    // size, plus the full 2^15 blocks (no merge rule above them)
+    assert(ids.length == (n >> 15) + Integer.bitCount(n & 32767))
+    assert(secs < 20.0, s"merge loop took ${secs}s — quadratic regression")
+  }
+
   test("HfTokenizer: merge-less shuffled byte vocab counts bytes; ids permuted") {
     val json = graft.ml.HfTokenizer.trivialByteVocabJson(b => (167 * b + 13) % 256)
     val tok = graft.ml.HfTokenizer.parse(json)

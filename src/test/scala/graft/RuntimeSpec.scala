@@ -112,6 +112,27 @@ class RuntimeSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: hostile WAV header (huge claimed frames) is clamped, not crashed") {
+    import graft.multimodal.Multimodal
+    val dec = new Multimodal.WavDecoder()
+    // a valid WAV truncated to its header + a sliver of data: the header
+    // still claims the full frame count, which naive header-trusting
+    // segment math would turn into negative array indices
+    val full = Multimodal.syntheticWav(8000, Array.fill(32000)(16384.toShort))
+    val truncated = full.take(44 + 10) // header + 5 samples
+    val (rate, _, frames, emb) = dec.decode("audio", "wav", truncated)
+    assert(rate == 8000)
+    assert(frames <= 5, s"frames must be clamped to the bytes present: $frames")
+    assert(emb.length == 16) // derived from the bytes that exist, no throw
+  }
+
+  test("multimodal: sampleFrames validates everyN at the API") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticMedia(spark, 4L)
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, 0))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, -3))
+  }
+
   test("multimodal: WavDecoder really decodes PCM WAVs (rate/channels/frames + RMS)") {
     import graft.multimodal.Multimodal
     val dec = new Multimodal.WavDecoder()

@@ -151,6 +151,54 @@ class TokenSinkSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("id", "shard", "start", "end"))
   }
 
+  test("uint16 overflow fails loudly instead of writing id mod 65536") {
+    val dir = Files.createTempDirectory("graft-tokens-ovf").toString
+    import spark.implicits._
+    val docs = Seq(("d1", Seq(1, 70000))).toDF("id", "toks")
+    val ex = intercept[Exception] {
+      TokenSink.writeShards(docs, col("id"), col("toks"), dir,
+        bytesPerToken = 2, numShards = 1).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("uint16")), chain(ex).mkString(" | "))
+    // the same ids are legal at 4 bytes per token
+    val meta = TokenSink.writeShards(docs, col("id"), col("toks"), dir + "/w4",
+      bytesPerToken = 4, numShards = 1)
+    val shard = meta.collect().head.getString(1)
+    assert(TokenSink.readShard(spark, dir + "/w4", shard, bytesPerToken = 4)
+      .toSeq == Seq(1, 70000))
+  }
+
+  test("dolma-layout sidecar quotes ids containing commas (RFC 4180)") {
+    val dir = Files.createTempDirectory("graft-tokens-q-src").toString
+    val dest = Files.createTempDirectory("graft-tokens-q-out").toString
+    import spark.implicits._
+    val docs = Seq(("http://x/a,b", "alpha beta"), ("plain", "gamma delta"))
+      .toDF("id", "text")
+      .withColumn("toks", TokenSink.tokenIds(col("text"), vocabSize = 4096))
+    val meta = TokenSink.writeShards(docs, col("id"), col("toks"), dir, numShards = 1)
+    meta.cache(); meta.count()
+    TokenSink.exportDolmaLayout(dir, meta, dest)
+    val shard = meta.collect().head.getString(1)
+    val gz = new java.util.zip.GZIPInputStream(Files.newInputStream(
+      java.nio.file.Paths.get(dest, shard.stripSuffix(".bin") + ".csv.gz")))
+    val text = new String(gz.readAllBytes(), "UTF-8"); gz.close()
+    // the comma-bearing id is quoted so consumers see exactly 5 columns
+    assert(text.contains("\"http://x/a,b\""), text)
+    val lines = text.split("\r\n").filter(_.nonEmpty)
+    // a minimal RFC-4180 field count: quoted commas don't split
+    def fields(l: String): Int = {
+      var inQ = false; var n = 1
+      l.foreach { c =>
+        if (c == '"') inQ = !inQ else if (c == ',' && !inQ) n += 1
+      }
+      n
+    }
+    assert(lines.forall(fields(_) == 5), lines.mkString("\n"))
+    meta.unpersist()
+  }
+
   test("dolma-layout export: .npy byte-identical, .csv.gz sidecar rows match metadata") {
     val dir = Files.createTempDirectory("graft-tokens-dolma-src").toString
     val dest = Files.createTempDirectory("graft-tokens-dolma-out").toString
