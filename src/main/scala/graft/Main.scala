@@ -191,12 +191,24 @@ object Main {
       md.digest(pendingFiles.mkString("\n").getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
     }
+    // Committed promote run-ids: used to sweep crashed-attempt leftovers.
+    // The run-id hashes the PENDING set, so if a crash lands between
+    // promote and ledger-commit and the input listing then changes, the
+    // retry's run-id differs and the delete-prefix in promoteStaging
+    // would never sweep the orphan — its docs would appear twice. Each
+    // committed resume records "__run:<id>" in the ledger; any part-r<id>
+    // file whose id is neither committed nor current is a crashed
+    // attempt's and is swept before writing.
+    val committedRuns: Set[String] = doneKeys.collect {
+      case k if k.startsWith("__run:") => k.stripPrefix("__run:")
+    }
     // Write helper: direct write when not resuming (Overwrite retries are
     // naturally idempotent); staging + promote when resuming.
     def writeCommitted(write: (String, org.apache.spark.sql.SaveMode) => Unit,
         dest: String): Unit =
       if (!resuming) write(dest, org.apache.spark.sql.SaveMode.Overwrite)
       else {
+        sweepOrphanRuns(spark, dest, committedRuns + runId)
         val staging = s"$dest/.staging-$runId"
         write(staging, org.apache.spark.sql.SaveMode.Overwrite)
         promoteStaging(spark, staging, dest, runId)
@@ -343,21 +355,35 @@ object Main {
       if (!dedupEnabled || dedupMode == "documents" ||
         dedupMode.startsWith("bloom")) None
       else {
+        // these modes mark LATER occurrences (first copy stays intact),
+        // so on WARC inputs — where byte-identical captures share a
+        // digest id — the spans must be keyed per document INSTANCE
+        // (__ord), not per id: an id-keyed merge would attach copy 2's
+        // dup spans to copy 1 as well and scrub the content out of the
+        // corpus entirely. The warc-keyed frame joins back on __ord below
+        // instead of flowing through the id-keyed mergeAttributes.
+        val dedupKey = if (isWarc) col("__ord").cast("string") else col("id")
+        // null text (nullable in dolma jsonl) dedups like the empty string
+        val safeText = coalesce(col("content"), lit(""))
         val spansDf = dedupMode match {
           case "paragraphs" =>
             graft.dedup.ReferenceDedup.paragraphDupSpans(
-              docs, col("id"), col("content"), col("__ord"))
+              docs, dedupKey, safeText, col("__ord"))
           case "ngrams" =>
             val ng = dedupeNode.flatMap(d => Option(d.get("ngram")))
             graft.dedup.ReferenceDedup.ngramDupSpans(
-              docs, col("id"), col("content"), col("__ord"),
+              docs, dedupKey, safeText, col("__ord"),
               ngramLength = ng.flatMap(n => Option(n.get("length")).map(_.asInt())).getOrElse(8),
               stride = ng.flatMap(n => Option(n.get("stride")).map(_.asInt())).getOrElse(0),
               overlapThreshold = ng.flatMap(n => Option(n.get("threshold")).map(_.asDouble())).getOrElse(0.7))
           case other => sys.error(s"unknown dedupe mode: $other")
         }
-        Some(spansDf.select(col("id"),
-          map(lit(dedupAttrName), col("spans")).as("attributes")))
+        val attr = spansDf.select(col("id"),
+          map(lit(dedupAttrName), col("spans")).as("attributes"))
+        // an enabled in-flight analyze reads these spans AND the output
+        // write does — pin the (corpus-wide window) computation like the
+        // tagger attrs, or it runs twice
+        Some(if (analyzeInFlight) attr.localCheckpoint() else attr)
       }
 
     // cross-run Bloom dedup state — the reference deduper's Bloom-filter
@@ -420,20 +446,31 @@ object Main {
         // one paragraph walk feeds BOTH the probe and the state update:
         // checkpoint keys+offsets (16-byte hashes, no text) so the doc
         // pipeline upstream evaluates once
+        // Bloom membership is a pure function of content, so duplicate
+        // doc ids (warc digests) keep ONE row per (id, idx) — dedup
+        // before the probe join or k copies would pack k² identical
+        // triples into the span arrays
         val paras0 = graft.dedup.ReferenceDedup.paragraphKeyRows(
-          docs, col("id"), col("content"))
+          docs, col("id"), coalesce(col("content"), lit("")))
         val paras = (if (skipEmpty) paras0.filter(!col("is_empty")) else paras0)
           .withColumn("__pid", concat_ws("\u0000", col("id"), col("idx")))
+          .dropDuplicates("__pid")
           .localCheckpoint()
         val hitPids = probeHits(
           paras.select(col("__pid"), col("key")).as[(String, String)])
           .withColumnRenamed("id", "__pid")
-        val hitSpans = paras.join(hitPids, Seq("__pid"))
-          .select(col("id"), col("idx"), col("start"), col("end"),
-            lit(1.0).as("score"))
-        val attr = graft.dedup.ReferenceDedup.rollupSpans(docs, col("id"), hitSpans)
-          .filter(size(col("spans")) > 0)
-          .select(col("id"), map(lit(bloomAttrName), col("spans")).as("attributes"))
+        // aggregate the HIT rows directly — rolling up over all docs
+        // would re-evaluate the whole doc pipeline for a join whose
+        // non-hit rows are filtered right back out
+        val attr = paras.join(hitPids, Seq("__pid"))
+          .groupBy(col("id"))
+          .agg(array_sort(collect_list(
+            struct(col("idx"), col("start"), col("end"), lit(1.0).as("score"))))
+            .as("__sorted"))
+          .select(col("id"), map(lit(bloomAttrName),
+            transform(col("__sorted"), s => struct(
+              s.getField("start").as("start"), s.getField("end").as("end"),
+              s.getField("score").as("score")))).as("attributes"))
         (Some(attr), deferredUpdate(() => paras.select(col("key")).as[String]))
       } else {
         val keyCol = Option(b.get("key")).map(_.asText()) match {
@@ -457,18 +494,37 @@ object Main {
     // WARC doc ids are payload digests (reference record_info.py:28), so
     // byte-identical captures share an id — expected on real CommonCrawl
     // (boilerplate/error pages). An id-keyed attribute join would fan
-    // those out (N docs × N attr rows). Identical payloads produce
-    // identical attribute rows, so collapsing each attr table to one row
-    // per id is lossless and restores the 1-row-per-doc join shape. The
-    // groupBy shuffles on the same key as the merge join — Catalyst
-    // reuses the exchange.
+    // those out (N docs × N attr rows). For attribute tables whose rows
+    // are a pure function of the payload (taggers, doc-grain bloom
+    // membership), identical payloads produce identical rows, so
+    // collapsing to one row per id is lossless and restores the
+    // 1-row-per-doc join shape (the groupBy shuffles on the same key as
+    // the merge join — Catalyst reuses the exchange). The dedupAttr spans
+    // are NOT payload-pure (they mark later occurrences) — in warc mode
+    // they are keyed by __ord and joined separately below.
     def onePerId(t: DataFrame): DataFrame =
       if (isWarc) t.groupBy(col("id"))
         .agg(first(col("attributes")).as("attributes"))
       else t
+    val mergedDedupAttr = if (isWarc) None else dedupAttr
     var withAttrs = Mixer.mergeAttributes(docs,
-      (attrsLoaded ++ attrsForMerge.toSeq ++ dedupAttr ++ bloomAttr)
+      (attrsLoaded ++ attrsForMerge.toSeq ++ mergedDedupAttr ++ bloomAttr)
         .map(onePerId))
+    if (isWarc) dedupAttr.foreach { a =>
+      // per-instance dedup spans: 1:1 join on the unique __ord key
+      val byOrd = a.select(col("id").cast("long").as("__ord"),
+        col("attributes").as("__dedup_attrs"))
+      // collectSpans covers every doc (empty lists for no hits), so the
+      // 1:1 join always matches and __dedup_attrs is never null
+      withAttrs = withAttrs.join(byOrd, Seq("__ord"), "left")
+      withAttrs =
+        if (withAttrs.columns.contains("attributes"))
+          withAttrs.withColumn("attributes",
+            map_zip_with(col("__dedup_attrs"), col("attributes"),
+              (_, v1, v2) => coalesce(v2, v1)))
+            .drop("__dedup_attrs")
+        else withAttrs.withColumnRenamed("__dedup_attrs", "attributes")
+    }
     // fold the WARC extraction's own attributes in (they were computed in
     // the same scan; later maps win on duplicate keys, like mergeAttributes)
     if (isWarc) {
@@ -481,8 +537,11 @@ object Main {
         else withAttrs.withColumnRenamed("__warc_attrs", "attributes")
     }
     if (dedupEnabled && dedupMode == "documents") {
+      // null text keys like the empty string: sha2(null) is null, and a
+      // null window key would silently group every null-content doc into
+      // one duplicate cluster
       withAttrs = graft.dedup.Dedup.markDuplicates(
-        withAttrs, sha2(col("content"), 256), col("__ord"))
+        withAttrs, sha2(coalesce(col("content"), lit("")), 256), col("__ord"))
     }
 
     // analyze stage — the `dolma analyze` CLI (cli/analyzer.py +
@@ -688,10 +747,6 @@ object Main {
         writeCommitted((path, mode) =>
           sized(mixed.write.mode(mode)).parquet(path), outPath)
     }
-    // the Bloom state version commits only now, with the output safely
-    // written — a crash above leaves the state untouched so a retry
-    // doesn't see its own keys (see the dedupe block)
-    bloomCommit.foreach(_())
     val rowsWritten = rowsObs.get.get("rows_written") match {
       case Some(n: Number) => n.longValue()
       case _ => 0L
@@ -778,11 +833,20 @@ object Main {
       }
 
     // ledger commit: the pending input files, at file grain (idempotent
-    // append; rows_written records this run's total)
+    // append; rows_written records this run's total). A resumed run also
+    // records its promote run-id so a later resume can sweep any
+    // promoted-but-uncommitted files from crashed attempts (see the
+    // writeCommitted block).
     ledger.foreach { l =>
       import spark.implicits._
-      l.commit(pendingFiles.toDF("key"), "key", rowsWritten)
+      val keys = if (resuming) pendingFiles :+ s"__run:$runId" else pendingFiles
+      l.commit(keys.toDF("key"), "key", rowsWritten)
     }
+    // the Bloom state version commits LAST, after every stage that can
+    // fail (output, metrics, tokens, ledger): committing it any earlier
+    // would poison the state on a later-stage failure — the retry would
+    // probe its own keys as members and silently drop the whole batch
+    bloomCommit.foreach(_())
   }
 
   private def opt(n: JsonNode, field: String): Option[String] =
@@ -796,6 +860,24 @@ object Main {
     * in-flight files. Rename is same-filesystem (staging lives inside
     * dest), i.e. a metadata move, not a copy — on HDFS/local it is atomic
     * per file. */
+  /** Delete promoted `part-r<id>-*` files whose run-id is not in `keep`
+    * (the committed run-ids plus the current one) — leftovers of attempts
+    * that crashed between promote and ledger-commit. */
+  private def sweepOrphanRuns(spark: SparkSession, dest: String,
+      keep: Set[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val destPath = new Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(destPath)) return
+    val Pat = "part-r([0-9a-f]+)-.*".r
+    fs.listStatus(destPath).foreach { st =>
+      st.getPath.getName match {
+        case Pat(id) if !keep(id) => fs.delete(st.getPath, false)
+        case _ =>
+      }
+    }
+  }
+
   private def promoteStaging(spark: SparkSession, staging: String,
       dest: String, runId: String): Unit = {
     import org.apache.hadoop.fs.Path

@@ -220,7 +220,7 @@ object MinHashLSH {
     val sized = df.select(idCol.as("id"), tokens(textCol).as("__toks"))
       .select(col("id"), array_sort(shingleHashesOfTokens(col("__toks"), k)).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n"))
-    if (prefixFilter) prefixFilteredPairs(sized, minJaccard)
+    if (prefixFilter) prefixFilteredPairs(sized, minJaccard, maxShingleDf, dropObs)
     else {
       val postings = sized.select(col("id"), col("n"), explode(col("sh")).as("g"))
       val kept = maxShingleDf match {
@@ -241,7 +241,13 @@ object MinHashLSH {
                 .otherwise(lit(0.0)))).cast("long").as("dropped_shingles")))
             .getOrElse(joined)
           observed.filter(col("__df") <= cap).drop("__df")
-        case None => postings
+        case None =>
+          // a caller-supplied Observation must still complete (obs.get
+          // would otherwise block forever): observe zero drops
+          dropObs.map(o => postings.observe(o,
+              sum(lit(0L)).as("dropped_postings"),
+              sum(lit(0L)).as("dropped_shingles")))
+            .getOrElse(postings)
       }
       val a = kept.select(col("g"), col("id").as("id_a"), col("n").as("n_a"))
       val b = kept.select(col("g"), col("id").as("id_b"), col("n").as("n_b"))
@@ -278,10 +284,33 @@ object MinHashLSH {
     * below the lossless bound; the 1e-9 downward guard restores exact
     * ⌈τn⌉ for any representable τ (a one-longer prefix would also be
     * safe — only less pruning — but the guarded ceil is tight). */
-  private def prefixFilteredPairs(sized: DataFrame, minJaccard: Double): DataFrame = {
-    val pfx = sized.select(col("id"), col("n"),
+  private def prefixFilteredPairs(sized: DataFrame, minJaccard: Double,
+      maxShingleDf: Option[Long] = None,
+      dropObs: Option[Observation] = None): DataFrame = {
+    val pfx0 = sized.select(col("id"), col("n"),
       explode(slice(col("sh"), lit(1),
         (col("n") - ceil(col("n") * minJaccard - lit(1e-9)) + 1).cast("int"))).as("g"))
+    // the df cap applies to the prefix INDEX here (hot boilerplate
+    // shingles blow up the candidate join quadratically in either path);
+    // same drop metrics as the unfiltered path, and a supplied
+    // Observation always completes (zero drops when uncapped)
+    val pfx = maxShingleDf match {
+      case Some(cap) =>
+        val dfs = pfx0.groupBy(col("g")).agg(count(lit(1)).as("__df"))
+        val joined = pfx0.join(dfs, Seq("g"))
+        val observed = dropObs.map(o => joined.observe(o,
+            sum(when(col("__df") > cap, 1L).otherwise(0L))
+              .as("dropped_postings"),
+            round(sum(when(col("__df") > cap, lit(1.0) / col("__df"))
+              .otherwise(lit(0.0)))).cast("long").as("dropped_shingles")))
+          .getOrElse(joined)
+        observed.filter(col("__df") <= cap).drop("__df")
+      case None =>
+        dropObs.map(o => pfx0.observe(o,
+            sum(lit(0L)).as("dropped_postings"),
+            sum(lit(0L)).as("dropped_shingles")))
+          .getOrElse(pfx0)
+    }
     val a = pfx.select(col("g"), col("id").as("id_a"))
     val b = pfx.select(col("g"), col("id").as("id_b"))
     val cand = a.hint("merge").join(b, Seq("g"))

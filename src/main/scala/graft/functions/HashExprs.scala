@@ -38,14 +38,21 @@ object Hashing {
     mix64(h)
   }
 
-  /** Lowercase whitespace tokens as (start, end) offsets — allocation-light. */
+  /** Lowercase whitespace tokens as (start, end) offsets — allocation-light.
+    * The whitespace class is Java-regex `\s` (ASCII: space, \t, \n, \x0B,
+    * \f, \r), NOT Character.isWhitespace: the exact-verify stage tokenizes
+    * with `split(lower(text), "\\s+")`, and the proposal stage must split
+    * identically or Unicode-whitespace documents get different shingles on
+    * the two sides — an undocumented recall hole beyond the banding miss. */
   def tokenOffsets(s: String): Array[Int] = {
     val out = new scala.collection.mutable.ArrayBuffer[Int](64)
     var i = 0
     val n = s.length
     var start = -1
+    @inline def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
     while (i < n) {
-      val ws = Character.isWhitespace(s.charAt(i))
+      val ws = isWs(s.charAt(i))
       if (ws) { if (start >= 0) { out += start; out += i; start = -1 } }
       else if (start < 0) start = i
       i += 1
@@ -85,7 +92,10 @@ case class MinHashSigExpr(child: Expression, shingleK: Int, numPerms: Int)
     Array.tabulate(numPerms)(i => Hashing.mix64(0x9e3779b97f4a7c15L * (i + 1)))
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // UTF8String.toLowerCase is Spark's own lower(): locale-independent,
+    // exactly matching the verify stage (JVM-default-locale toLowerCase
+    // diverges under e.g. Turkish locale and across executors)
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
     val offs = Hashing.tokenOffsets(s)
     val nTok = offs.length / 2
     val mins = Array.fill(numPerms)(Long.MaxValue)
@@ -189,7 +199,10 @@ case class SimHash64Expr(child: Expression)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString.toLowerCase
+    // UTF8String.toLowerCase is Spark's own lower(): locale-independent,
+    // exactly matching the verify stage (JVM-default-locale toLowerCase
+    // diverges under e.g. Turkish locale and across executors)
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
     val offs = Hashing.tokenOffsets(s)
     val votes = new Array[Int](64)
     var t = 0

@@ -66,7 +66,12 @@ object Mixer {
 
   /** map_concat that lets later maps win on duplicate keys (the reference
     * inserts later attribute files over earlier ones, shard.rs:322). */
-  private def map_concat_dedup(a: Column, b: Column): Column =
+  /** map_concat with last-wins key collisions (dict.update semantics):
+    * Spark's map_concat THROWS on duplicate keys under the default
+    * EXCEPTION policy, but the reference merges attribute dicts with
+    * later-wins everywhere. Shared by the mixer merge and the WARC
+    * pre/post tagger fold. */
+  def map_concat_dedup(a: Column, b: Column): Column =
     map_zip_with(a, b, (_, v1, v2) => coalesce(v2, v1))
 
   /** The keep predicate (src/filters.rs:327-385): include = OR across

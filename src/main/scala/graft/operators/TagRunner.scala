@@ -65,8 +65,6 @@ object TagRunner {
     val round = roundScores
     val exp = experiment
 
-    val inputEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(df.select(cols: _*).schema)
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(attrSchema)
     val docCounter = newDocCounter(spark)
 
@@ -83,21 +81,7 @@ object TagRunner {
         val meta = metaNames.zipWithIndex.map { case (m, i) =>
           m -> (if (row.isNullAt(i + 2)) "" else row.get(i + 2).toString)
         }.toMap
-        val attrs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[SpanTriple]]
-        taggers.foreach { t =>
-          val spans = t.predict(text, meta)
-          spans.groupBy(_.typ).foreach { case (typ, ss) =>
-            val key = Attributes.mangle(exp, t.name, typ)
-            val triples = ss.map { s =>
-              SpanTriple(s.start, s.end,
-                if (round) Attributes.roundScore(s.score) else s.score)
-            }
-            attrs.update(key, attrs.getOrElse(key, Seq.empty) ++ triples)
-          }
-        }
-        Row(id, attrs.map { case (k, v) =>
-          k -> v.map(t => Row(t.start, t.end, t.score))
-        }.toMap)
+        Row(id, tagRow(taggers, text, meta, exp, round))
       }
     }(outEnc)
   }
@@ -138,20 +122,30 @@ object TagRunner {
         val meta = metaNames.zip(metaIdx).map { case (m, i) =>
           m -> (if (row.isNullAt(i)) "" else row.get(i).toString)
         }.toMap
-        val attrs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[SpanTriple]]
-        taggers.foreach { t =>
-          t.predict(text, meta).groupBy(_.typ).foreach { case (typ, ss) =>
-            val key = Attributes.mangle(exp, t.name, typ)
-            val triples = ss.map(s => SpanTriple(s.start, s.end,
-              if (round) Attributes.roundScore(s.score) else s.score))
-            attrs.update(key, attrs.getOrElse(key, Seq.empty) ++ triples)
-          }
-        }
-        Row.fromSeq(row.toSeq :+ attrs.map { case (k, v) =>
-          k -> v.map(t => Row(t.start, t.end, t.score))
-        }.toMap)
+        Row.fromSeq(row.toSeq :+ tagRow(taggers, text, meta, exp, round))
       }
     }(outEnc)
+  }
+
+
+  /** One document through the resolved battery: predict, group by span
+    * type, mangle keys, round scores — shared by [[tag]] and
+    * [[withAttributes]] so the two paths can never drift. */
+  private def tagRow(taggers: Seq[graft.taggers.Tagger], text: String,
+      meta: Map[String, String], exp: String,
+      round: Boolean): Map[String, Seq[Row]] = {
+    val attrs = scala.collection.mutable.LinkedHashMap.empty[String, Seq[SpanTriple]]
+    taggers.foreach { t =>
+      t.predict(text, meta).groupBy(_.typ).foreach { case (typ, ss) =>
+        val key = Attributes.mangle(exp, t.name, typ)
+        val triples = ss.map(s => SpanTriple(s.start, s.end,
+          if (round) Attributes.roundScore(s.score) else s.score))
+        attrs.update(key, attrs.getOrElse(key, Seq.empty) ++ triples)
+      }
+    }
+    attrs.map { case (k, v) =>
+      k -> v.map(t => Row(t.start, t.end, t.score))
+    }.toMap
   }
 
   /** Flatten an attribute map to long format `(id, attr, start, end,

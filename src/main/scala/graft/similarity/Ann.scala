@@ -29,9 +29,15 @@ object Ann {
   def norm(vec: Column): Column =
     sqrt(aggregate(vec, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** Cosine against a literal query. Guarded like [[cosine]]: a zero-norm
+    * corpus vector (padding / failed-embed sentinel) yields NULL — under
+    * ANSI (Spark 4 default) the raw 0/0 would throw DIVIDE_BY_ZERO, and
+    * in legacy mode the NaN would sort ABOVE every real score and win
+    * the top-k. NULLs order last under `desc`. */
   def cosineLiteral(vec: Column, q: Seq[Double]): Column = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
-    dotLiteral(vec, q) / (norm(vec) * lit(qNorm))
+    val den = norm(vec) * lit(qNorm)
+    when(den > 0, dotLiteral(vec, q) / den)
   }
 
   /** Exact top-k cosine neighbors of `query`. */

@@ -118,7 +118,11 @@ object Warc {
                   h.substring(colon + 1).trim)
               h = readLine()
             }
-            val len = headers.getOrElse("content-length", "0").toLong
+            // a malformed value (duplicate-header merge "1234, 1234",
+            // garbage) must degrade like a truncated body does, not
+            // abort the archive with NumberFormatException
+            val len = headers.getOrElse("content-length", "0")
+              .toLongOption.getOrElse(0L)
             val body = readFully(len)
             val rtype = headers.getOrElse("warc-type", "")
             val warcCtype = headers.getOrElse("content-type", "")
@@ -329,7 +333,9 @@ object Warc {
       val merged =
         if (cols.isEmpty) map().cast(MapType(StringType, TagRunner.spanTripleType))
         else if (cols.size == 1) col(cols.head)
-        else map_concat(cols.map(col): _*)
+        // last-wins on duplicate keys (the same tagger in one list):
+        // raw map_concat throws DUPLICATED_MAP_KEY at runtime
+        else cols.map(col).reduce(graft.mixer.Mixer.map_concat_dedup)
       d.withColumn(out, merged)
         .withColumn(s"n_$out", size(map_keys(col(out))))
         .drop(cols: _*)
@@ -356,7 +362,10 @@ object Warc {
     val metaNames = Seq("warc_url", "url", "warc_date", "warc_filename",
       "content_type", "uncompressed_offset") ++
       (if (storeHtml) Seq("html") else Nil)
-    val attrsCol = map_concat(col("__pre_attrs"), col("__post_attrs"))
+    // a tagger listed in BOTH phases emits the same keys: post wins
+    // (dict.update), instead of map_concat's duplicate-key error
+    val attrsCol = graft.mixer.Mixer.map_concat_dedup(
+      col("__pre_attrs"), col("__post_attrs"))
     filtered.select(Seq(
       // payload_id (record_info.py:28): the digest value after the
       // algorithm prefix, lowercased — "sha1:B64…" → "b64…".
@@ -439,6 +448,9 @@ object Linearizer {
   // the reference's linearizer config)
   private val HiddenTags = Set("script", "style", "noscript", "template",
     "iframe", "svg", "head", "object", "select", "textarea", "button")
+  // elements legal inside <head> — anything else implies </head> (HTML5)
+  private val HeadAllowed = Set("title", "meta", "link", "style", "script",
+    "base", "noscript", "template", "head")
   // table cells separate with a space so row text doesn't fuse
   private val CellTags = Set("td", "th")
 
@@ -529,7 +541,7 @@ object Linearizer {
 
   def linearize(html: String): String = {
     val src = html.replaceAll("(?s)<!--.*?-->", " ")
-    val lower = src.toLowerCase
+    val lower = src.toLowerCase(java.util.Locale.ROOT)
     val sb = new StringBuilder(src.length)
     // ordered-list state per nesting level: -1 = ul, >=1 = next ol number
     val listStack = scala.collection.mutable.Stack.empty[Int]
@@ -560,8 +572,18 @@ object Linearizer {
           val inner = src.substring(i + 1, j)
           val isClose = inner.startsWith("/")
           val selfClose = inner.endsWith("/")
+          // Locale.ROOT: a Turkish-locale JVM lowercases SCRIPT to
+          // "scrıpt" (dotless i), leaking script bodies into the text
           val name = inner.stripPrefix("/")
-            .takeWhile(ch => ch.isLetterOrDigit).toLowerCase
+            .takeWhile(ch => ch.isLetterOrDigit).toLowerCase(java.util.Locale.ROOT)
+          // HTML5 implied </head>: hand-written pages commonly omit it,
+          // and a literal-only close would hide the ENTIRE body. Any
+          // start tag not allowed in head (body, div, p, ...) closes the
+          // head context.
+          if (hiddenDepth > 0 && hiddenTag == "head" && !isClose &&
+              name.nonEmpty && !HeadAllowed.contains(name)) {
+            hiddenDepth = 0; hiddenTag = ""
+          }
           if (hiddenDepth > 0) {
             // only same-name tags nest/unnest the hidden element
             if (name == hiddenTag) {

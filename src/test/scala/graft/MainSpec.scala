@@ -561,6 +561,73 @@ class MainSpec extends AnyFunSuite {
     assert(out.filter(col("id") === "samedigest").count() == 2)
   }
 
+  test("warc duplicate ids + paragraph dedupe: first copy keeps its text") {
+    // dedup spans mark LATER occurrences; with digest-shared ids they must
+    // bind per document INSTANCE — an id-keyed merge would scrub the
+    // content out of every copy, deleting it from the corpus entirely
+    val dir = Files.createTempDirectory("graft-warc-dup-para").toString
+    def rec(uri: String, body: String, digest: String): Array[Byte] = {
+      val html = s"<html><body><p>$body</p></body></html>"
+      val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      val payload = (http + html).getBytes("ISO-8859-1")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:$uri>\r\n" +
+        s"WARC-Target-URI: http://$uri/\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"WARC-Payload-Digest: sha1:$digest\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes
+    }
+    Files.write(java.nio.file.Paths.get(dir, "a.warc"),
+      rec("hosta.com", "the shared boilerplate paragraph", "DUPPAR") ++
+        rec("hostb.com", "the shared boilerplate paragraph", "DUPPAR"))
+    val config =
+      s"""{
+         |  "input": {"format": "warc", "path": "$dir/a.warc"},
+         |  "dedupe": {"enabled": true, "mode": "paragraphs",
+         |             "attribute_name": "dup_paras"},
+         |  "span_replacement": [
+         |    {"span": "dup_paras", "min_score": 0.5, "replacement": ""}],
+         |  "min_text_length": 0,
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    val texts = spark.read.parquet(s"$dir/out")
+      .select("content").as[String].collect().toSeq
+    // exactly ONE copy retains the paragraph (the first occurrence); the
+    // other is scrubbed — not both kept, and crucially not both scrubbed
+    assert(texts.count(_.contains("shared boilerplate")) == 1, texts.toString)
+  }
+
+  test("bloom state commits last: a failing later stage cannot poison it") {
+    val dir = Files.createTempDirectory("graft-bloom-order").toString
+    Seq(("d1", "alpha text one"), ("d2", "beta text two"))
+      .toDF("id", "content").write.parquet(s"$dir/in")
+    def config(tokens: String) =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/in", "id": "id", "text": "content"},
+         |  "dedupe": {"enabled": true, "mode": "bloom",
+         |             "bloom_filter": {"path": "$dir/state",
+         |               "estimated_doc_count": 100}},
+         |  "filter": {"exclude": ["$$.attributes.bff_duplicate[0][2] > 0.5"]},
+         |  "output": {"path": "$dir/out", "format": "parquet"}$tokens
+         |}""".stripMargin
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // stage AFTER the output write fails (bad tokenizer path): the bloom
+    // state must stay untouched or the retry would see its own keys as
+    // members and drop the whole batch
+    intercept[Exception] {
+      Main.run(spark, om.readTree(config(
+        s""", "tokens": {"destination": "$dir/tok",
+           |             "tokenizer": {"path": "$dir/missing.json"}}""".stripMargin)))
+    }
+    val stateDir = new java.io.File(s"$dir/state")
+    assert(!stateDir.exists() || stateDir.listFiles().isEmpty,
+      "bloom state must not commit when a later stage fails")
+    // retry without the broken stage: nothing marked duplicate
+    Main.run(spark, om.readTree(config("")))
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
   test("dedupe enabled=false with a bloom mode is inert, not a crash") {
     val dir = Files.createTempDirectory("graft-bloom-off").toString
     Seq(("d1", "some text")).toDF("id", "content").write.parquet(s"$dir/in")

@@ -244,6 +244,49 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(capped.map(p => (p._1, p._2)) == Set(("0", "1")))
   }
 
+  test("prefix path honors maxShingleDf and completes a supplied Observation") {
+    // previously the prefixFilter branch silently ignored both options:
+    // the hot-shingle cap never applied and obs.get blocked forever
+    val texts = Seq(
+      "shared legal boilerplate unique alpha beta gamma delta",
+      "shared legal boilerplate unique alpha beta gamma epsilon",
+      "shared legal boilerplate zz yy xx ww vv",
+      "shared legal boilerplate qq rr ss tt uu")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toString, t) }.toDF("id", "text")
+    // the obs3 fixture from the unfiltered-path test: a df=12 boilerplate
+    // bigram rides every doc while a planted duplicate pair survives on
+    // its rare shingles — with SOME pairs surviving, AQE cannot
+    // empty-propagate the metrics node away (the documented caveat)
+    val boiler = (0 until 10).map(i => (f"d$i%02d", s"u$i v$i shared tail")) ++
+      Seq(("pa", "dup one two shared tail"), ("pb", "dup one two shared tail"))
+    val obs = new org.apache.spark.sql.Observation()
+    val capped = MinHashLSH.exactJaccardPairs(boiler.toDF("id", "text"),
+      col("id"), col("text"), k = 2, minJaccard = 0.5,
+      maxShingleDf = Some(5L), prefixFilter = true, dropObs = Some(obs))
+      .as[(String, String, Double)].collect().toSet
+    assert(capped.map(p => (p._1, p._2)) == Set(("pa", "pb")))
+    // the cap actually applied on this path (it used to be silently
+    // ignored) and the observation completed
+    assert(obs.get("dropped_postings").asInstanceOf[Long] > 0L)
+    // uncapped with an observation: completes with zero drops
+    val obs0 = new org.apache.spark.sql.Observation()
+    MinHashLSH.exactJaccardPairs(df, col("id"), col("text"),
+      k = 3, minJaccard = 0.4, prefixFilter = true, dropObs = Some(obs0)).collect()
+    assert(obs0.get("dropped_postings").asInstanceOf[Long] == 0L)
+  }
+
+  test("cosineLiteral: a zero-norm corpus vector never wins the top-k") {
+    val docs = Seq(
+      ("z", Seq(0.0, 0.0, 0.0)),            // degenerate: NaN unguarded
+      ("a", Seq(1.0, 0.0, 0.0)),
+      ("b", Seq(0.9, 0.1, 0.0))).toDF("id", "vec")
+    val top = graft.similarity.Ann.cosineTopK(
+      docs, col("id"), col("vec"), Seq(1.0, 0.0, 0.0), k = 2)
+      .as[(String, Double)].collect()
+    assert(top.map(_._1).toSeq == Seq("a", "b"))
+    assert(!top.exists(_._1 == "z"))
+  }
+
   test("duplicateClusters: chains, cliques, and isolated pairs resolve to min-id components") {
     // chain 0-1-2-3-4-5 (diameter 5 forces multi-round propagation),
     // clique {10,11,12}, isolated pair {20,21}

@@ -300,6 +300,54 @@ class WarcSpec extends AnyFunSuite {
       .contains("cc_re__cc_re__cc_by_4_0"))
   }
 
+  test("linearizer: missing </head> implies close at the first body element") {
+    // hand-written pages commonly omit </head>; a literal-only close
+    // would hide the entire document body
+    val noClose = "<html><head><title>t</title><meta charset=\"utf-8\">" +
+      "<body><p>Hello body</p></body></html>"
+    val text = Linearizer.linearize(noClose)
+    assert(text.contains("Hello body"), s"got: '$text'")
+    assert(!text.contains("t\n") && !text.startsWith("t"), "title must stay hidden")
+    // head content that IS head-legal stays hidden even unclosed
+    val noBody = "<html><head><title>secret</title><div>visible</div></html>"
+    val t2 = Linearizer.linearize(noBody)
+    assert(t2.contains("visible") && !t2.contains("secret"), s"got: '$t2'")
+  }
+
+  test("malformed Content-Length degrades to resync, not NumberFormatException") {
+    val good = warcResponse("http://ok.example/", "<html><body><p>fine</p></body></html>")
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:bad>\r\n" +
+      "WARC-Target-URI: http://bad.example/\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "WARC-Payload-Digest: sha1:BAD\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 1234, 1234\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1) ++
+      "HTTP/1.1 200 OK\r\n\r\n<p>junk</p>\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val recs = Warc.iterateRecords(
+      new java.io.ByteArrayInputStream(bad ++ good), gzipped = false).toVector
+    // the malformed record reads an empty body and the parser resyncs to
+    // the next WARC/ marker; the healthy record survives
+    assert(recs.exists(_.targetUri == "http://ok.example/"))
+  }
+
+  test("same tagger in pre and post phases merges last-wins, no duplicate-key error") {
+    val dir = writeFixture(gz = false)
+    val out = Warc.extractDocuments(Warc.readRecords(spark, dir), "cc",
+      preTaggers = Seq("cc_re"), postTaggers = Seq("cc_re")).collect()
+    assert(out.nonEmpty)
+    // the license span shows up once (post run over text wins)
+    val attrs = out.map(_.getAs[Map[String, Any]]("attributes"))
+    assert(attrs.exists(_.keys.exists(_.contains("cc_re"))))
+  }
+
+  test("signature tokenization matches the verify stage's ASCII \\s class") {
+    // em-space U+2003 is NOT a Java-regex \s separator; the proposal-side
+    // tokenizer must agree with split(lower(text), "\\s+")
+    val offs = graft.functions.Hashing.tokenOffsets("x\u2003y z")
+    assert(offs.length == 4) // two tokens: "x\u2003y" and "z"
+    val offsAscii = graft.functions.Hashing.tokenOffsets("a\u000Bb")
+    assert(offsAscii.length == 4) // \x0B IS in the \s class: two tokens
+  }
+
   test("dolmaTimestamp: every HTTP/1.1 Date accept-form parses (no now() fallback)") {
     import org.apache.spark.sql.functions.col
     // RFC 1123 zone name / numeric offsets, RFC 850, asctime — the forms
