@@ -56,7 +56,7 @@ object Sentences {
         val isAbbrev = c == '.' && {
           var k = i - 1
           while (k >= 0 && (Character.isLetter(text.charAt(k)) || text.charAt(k) == '.')) k -= 1
-          val word = text.substring(k + 1, i).toLowerCase
+          val word = text.substring(k + 1, i).toLowerCase(java.util.Locale.ROOT)
           abbreviations.contains(word) || word.length == 1
         }
         val isDecimal = c == '.' && i + 1 < n && Character.isDigit(text.charAt(i + 1)) &&

@@ -27,16 +27,30 @@ object Dedup {
   /** Doc-level dedup: adds `is_duplicate` (first occurrence in
     * `orderCol` order wins — the positional order the reference gets from
     * its sequential file walk). Skip rules mirror deduper.rs:261-276:
-    * too-short or empty keys are never marked duplicates. */
+    * too-short, empty, or NULL keys are never marked duplicates
+    * (eligibility null-coalesces to false, so the flag is always a real
+    * boolean — a null flag would be dropped by `filter(!flag)` but kept
+    * by the mixer's coalescing predicate).
+    *
+    * Skew: ineligible rows are spread across synthetic window keys
+    * instead of riding their real key — otherwise every empty/short key
+    * lands in ONE window partition (an unsplittable straggler at scale;
+    * AQE splits skewed joins, not windows). Eligibility is a function of
+    * the key alone, so rerouting ineligible rows cannot change any
+    * eligible row's row number. */
   def markDuplicates(
       df: DataFrame,
       keyCol: Column,
       orderCol: Column,
       minLength: Int = 0,
       skipEmpty: Boolean = false): DataFrame = {
-    val eligible = (if (skipEmpty) trim(keyCol) =!= "" else lit(true)) &&
-      (length(keyCol) >= minLength)
-    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+    val eligible = coalesce(
+      (if (skipEmpty) trim(keyCol) =!= "" else lit(true)) &&
+        (length(keyCol) >= minLength), lit(false))
+    val spread = when(col("__eligible"), keyCol.cast("string"))
+      .otherwise(concat(lit("__skip:"),
+        pmod(coalesce(orderCol.cast("long"), lit(0L)), lit(1024L)).cast("string")))
+    val w = Window.partitionBy(spread).orderBy(orderCol)
     df.withColumn("__eligible", eligible)
       .withColumn("is_duplicate",
         col("__eligible") && row_number().over(w) > 1)
@@ -44,14 +58,19 @@ object Dedup {
   }
 
   /** groupBy-based exact dedup keeping the min-ordinal row: cheaper than a
-    * window when the payload is wide (partial aggregation pre-shuffle). */
+    * window when the payload is wide (partial aggregation pre-shuffle).
+    * The key join is null-SAFE (`<=>`): null-keyed rows form one group and
+    * keep their min-ordinal row instead of silently vanishing through a
+    * null-unsafe equality. Requires `orderCol` unique per key (the usual
+    * monotonic id) — rows tying on (key, min ordinal) would all survive. */
   def firstOccurrences(df: DataFrame, keyCol: Column, orderCol: Column): DataFrame = {
     val keyed = df.withColumn("__key", keyCol).withColumn("__ord", orderCol)
     val firsts = keyed.groupBy(col("__key"))
       .agg(min(col("__ord")).as("__first_ord"))
+      .withColumnRenamed("__key", "__fkey")
     keyed.join(firsts,
-        keyed("__key") === firsts("__key") && keyed("__ord") === firsts("__first_ord"))
-      .drop("__key", "__ord", "__first_ord")
+        keyed("__key") <=> col("__fkey") && keyed("__ord") === col("__first_ord"))
+      .drop("__key", "__fkey", "__ord", "__first_ord")
   }
 
   /** Paragraph-level dedup (deduper.rs:320-379): explode paragraphs
@@ -79,7 +98,14 @@ object Dedup {
       .withColumn("__h1", xxhash64(col("para")))
       .withColumn("__h2", hash(col("para")))
       .withColumn("__nonempty", trim(col("para")) =!= "")
-    val w = Window.partitionBy(col("__h1"), col("__h2"))
+    // empty paragraphs (every blank-line separator in the corpus) all
+    // hash identically — billions of rows in ONE window partition at
+    // scale. They are never marked anyway (__nonempty gates the flag), so
+    // spread them across synthetic keys; real paragraphs keep (h1, h2).
+    val w = Window.partitionBy(
+        when(col("__nonempty"), col("__h1"))
+          .otherwise(pmod(col("__ord"), lit(4096L))),
+        when(col("__nonempty"), col("__h2")).otherwise(col("para_index")))
       .orderBy(col("__ord"), col("para_index"))
     paras
       .withColumn("is_duplicate",
@@ -89,7 +115,9 @@ object Dedup {
 
   /** N-gram-overlap paragraph dedup (deduper.rs:380-466): uniseg-style
     * tokenize each paragraph, hash every `n`-gram with `stride`, compute
-    * the fraction of n-grams already seen in OTHER documents; fraction ≥
+    * the fraction of n-grams already seen EARLIER (in other documents or
+    * earlier in the same one — probe-then-insert, like the reference's
+    * shared Bloom filter); fraction ≥
     * threshold → duplicate paragraph. Short paragraphs (< n tokens) fall
     * back to whole-paragraph comparison (deduper.rs:421-452).
     * Two shuffles: ngram first-occurrence, then per-paragraph rollup. */

@@ -215,7 +215,22 @@ object Jq {
           val sb = new StringBuilder
           while (pos < input.length && input.charAt(pos) != '"') {
             val c = input.charAt(pos)
-            if (c == '\\' && pos + 1 < input.length) { sb.append(input.charAt(pos + 1)); pos += 2 }
+            if (c == '\\' && pos + 1 < input.length) {
+              // standard JSON escapes — appending the raw character would
+              // turn "a\nb" into "anb" and silently mis-match documents
+              input.charAt(pos + 1) match {
+                case 'n' => sb.append('\n'); pos += 2
+                case 't' => sb.append('\t'); pos += 2
+                case 'r' => sb.append('\r'); pos += 2
+                case 'b' => sb.append('\b'); pos += 2
+                case 'f' => sb.append('\f'); pos += 2
+                case 'u' if pos + 5 < input.length =>
+                  val hex = input.substring(pos + 2, pos + 6)
+                  val cp = Integer.parseInt(hex, 16)
+                  sb.append(cp.toChar); pos += 6
+                case other => sb.append(other); pos += 2 // \" \\ \/ etc.
+              }
+            }
             else { sb.append(c); pos += 1 }
           }
           if (pos >= input.length) fail("unterminated string")
@@ -224,10 +239,17 @@ object Jq {
         case c if c.isDigit || c == '-' =>
           val start = pos
           if (peek == '-') pos += 1
-          while (pos < input.length && (input.charAt(pos).isDigit ||
-            input.charAt(pos) == '.' || input.charAt(pos) == 'e' ||
-            input.charAt(pos) == 'E')) pos += 1
-          Lit(JNum(input.substring(start, pos).toDouble))
+          var prevExp = false
+          while (pos < input.length && {
+            val ch = input.charAt(pos)
+            ch.isDigit || ch == '.' || ch == 'e' || ch == 'E' ||
+              // exponent SIGN: only directly after e/E (1e-4, 2.5E+10)
+              (prevExp && (ch == '+' || ch == '-'))
+          }) { prevExp = input.charAt(pos) == 'e' || input.charAt(pos) == 'E'; pos += 1 }
+          val txt = input.substring(start, pos)
+          val num = txt.toDoubleOption.getOrElse(
+            fail(s"malformed number literal '$txt'"))
+          Lit(JNum(num))
         case c if c.isLetter =>
           val start = pos
           while (pos < input.length &&
@@ -266,6 +288,10 @@ object Jq {
       steps.foldLeft(Vector(v)) { (vs, step) => vs.flatMap(eval(step, _)) }
     case Field(name, opt) => v match {
       case JObj(f) => Vector(f.getOrElse(name, JNull))
+      // NOTE: stock jq yields null for `null | .x`, but the reference's
+      // jaq ERRORS on it and dolma pins that (filters.rs:666-682
+      // test_jq_missing_attr expects is_err) — so indexing null without
+      // `?` stays an error here. Use `.a.b?` for the lenient form.
       case _ =>
         if (opt) Vector.empty
         else throw new JqError(s"cannot index ${typeName(v)} with '$name'")
@@ -474,7 +500,12 @@ object Jq {
         s.getField("score"))))
     val fields = Seq(id.as("id"), text.as("text"), tripleAttrs.as("attributes")) ++
       extra.map { case (n, c) => c.as(n) }
-    to_json(struct(fields: _*))
+    // keep null fields in the JSON (to_json drops them by default): a
+    // null attributes map must surface as JNull — same shape as
+    // docFromRow — so predicates evaluate to false instead of differing
+    // between the two doc-construction paths
+    to_json(struct(fields: _*),
+      java.util.Collections.singletonMap("ignoreNullFields", "false"))
   }
 
   def includeColumn(exprSrc: String, attributes: Column, id: Column,

@@ -44,29 +44,27 @@ object Mixer {
     * (blocklists, dims) should be joined by the caller with an explicit
     * `broadcast()`. */
   def mergeAttributes(docs: DataFrame, attrTables: Seq[DataFrame]): DataFrame = {
-    attrTables.zipWithIndex.foldLeft(docs) { case (acc, (attrs, i)) =>
+    val joined = attrTables.zipWithIndex.foldLeft(docs) { case (acc, (attrs, i)) =>
       val renamed = attrs.withColumnRenamed("attributes", s"__attrs_$i").hint("merge")
       acc.join(renamed, Seq("id"), "left")
-    } match {
-      case joined =>
-        val attrCols = attrTables.indices.map(i => col(s"__attrs_$i"))
-        if (attrCols.isEmpty) joined
-        else {
-          val mapType = org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            graft.operators.TagRunner.spanTripleType)
-          val merged = attrCols
-            .map(c => coalesce(c, map().cast(mapType)))
-            .reduce((a, b) => map_concat_dedup(a, b))
-          joined.withColumn("attributes", merged)
-            .drop(attrTables.indices.map(i => s"__attrs_$i"): _*)
-        }
+    }
+    val attrCols = attrTables.indices.map(i => col(s"__attrs_$i"))
+    if (attrCols.isEmpty) joined
+    else {
+      val mapType = org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        graft.operators.TagRunner.spanTripleType)
+      val merged = attrCols
+        .map(c => coalesce(c, map().cast(mapType)))
+        .reduce((a, b) => map_concat_dedup(a, b))
+      joined.withColumn("attributes", merged)
+        .drop(attrTables.indices.map(i => s"__attrs_$i"): _*)
     }
   }
 
-  /** map_concat that lets later maps win on duplicate keys (the reference
-    * inserts later attribute files over earlier ones, shard.rs:322). */
-  /** map_concat with last-wins key collisions (dict.update semantics):
+  /** map_concat with last-wins key collisions (dict.update semantics,
+    * the reference inserts later attribute files over earlier ones,
+    * shard.rs:322):
     * Spark's map_concat THROWS on duplicate keys under the default
     * EXCEPTION policy, but the reference merges attribute dicts with
     * later-wins everywhere. Shared by the mixer merge and the WARC
@@ -114,6 +112,11 @@ object Mixer {
   def mix(docsWithAttrs: DataFrame, cfg: MixerConfig,
       sourceFileCol: Column = input_file_name(),
       ordinalCol: Column = monotonically_increasing_id()): DataFrame = {
+    // The defaults only stamp meaningful provenance when `docsWithAttrs`
+    // is a direct scan: after any join/shuffle (mergeAttributes!)
+    // input_file_name() is empty and the monotonic id is assigned
+    // post-filter. Pipelines must capture both AT SCAN TIME and pass the
+    // captured columns (as Main does with __file/__ord).
     var out = docsWithAttrs.filter(keepPredicate(cfg))
     if (cfg.spanReplacements.nonEmpty) {
       out = out.withColumn("content",
@@ -122,8 +125,13 @@ object Mixer {
     if (cfg.discardFields.nonEmpty) out = out.drop(cfg.discardFields: _*)
     if (cfg.minTextLength > 0) {
       // reference quirk: length of the trimmed text in BYTES (Rust
-      // `str::len`, shard.rs:450-454) — octet_length, not char length
-      out = out.filter(octet_length(trim(col("content"))) >= cfg.minTextLength)
+      // `str::len`, shard.rs:451-454) — octet_length, not char length.
+      // Rust str::trim strips ALL Unicode White_Space; Spark's trim()
+      // strips only ASCII space, which diverges for the near-universal
+      // trailing newline, so trim with the Unicode property class.
+      val rustTrimmed = regexp_replace(col("content"),
+        "^[\\p{IsWhite_Space}]+|[\\p{IsWhite_Space}]+$", "")
+      out = out.filter(octet_length(rustTrimmed) >= cfg.minTextLength)
     }
     out.withColumn("provenance", concat_ws(":", sourceFileCol, ordinalCol))
   }

@@ -31,7 +31,7 @@ final class FastTextClassifier(
 
   /** Reference preprocessing: `text.lower().replace("\n", " ")`
     * (language.py:159). */
-  def normalize(text: String): String = text.toLowerCase.replace('\n', ' ')
+  def normalize(text: String): String = text.toLowerCase(java.util.Locale.ROOT).replace('\n', ' ')
 
   /** Per-thread scratch: feature buffer + hidden/probability arrays. The
     * model is broadcast and shared by every task thread in an executor, so

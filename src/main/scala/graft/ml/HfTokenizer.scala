@@ -52,7 +52,7 @@ final class HfTokenizer(
         case "NFKC" => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC)
         case "NFD" => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
         case "NFKD" => java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
-        case "Lowercase" => s.toLowerCase
+        case "Lowercase" => s.toLowerCase(java.util.Locale.ROOT)
         case "Prepend" => if (s.isEmpty) s else a + s
         case "Replace" => s.replace(a, b)
         case other => throw new IllegalArgumentException(

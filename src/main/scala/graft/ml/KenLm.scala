@@ -65,7 +65,7 @@ final class KenLm(
 object KenLm {
 
   def tokenize(text: String): Seq[String] =
-    TextSplit.pythonSplit(text.toLowerCase).toSeq
+    TextSplit.pythonSplit(text.toLowerCase(java.util.Locale.ROOT)).toSeq
 
   /** Stable 64-bit ngram key (FNV-1a over words, separator-framed). */
   def ngramKey(ngram: Seq[String]): Long = {

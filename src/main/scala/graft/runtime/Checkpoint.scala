@@ -26,7 +26,10 @@ final class Checkpoint(spark: SparkSession, ledgerPath: String) {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(ledgerPath)
     val fs = p.getFileSystem(hadoopConf)
-    if (fs.exists(p)) spark.read.parquet(ledgerPath)
+    // explicit schema: a crash during the very first commit can leave the
+    // directory with no readable footers, and schema INFERENCE would then
+    // throw on every later resume — permanently blocking the ledger
+    if (fs.exists(p)) spark.read.schema(Checkpoint.schema).parquet(ledgerPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       Checkpoint.schema)

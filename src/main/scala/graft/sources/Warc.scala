@@ -114,7 +114,7 @@ object Warc {
             while (h != null && h.nonEmpty) {
               val colon = h.indexOf(':')
               if (colon > 0)
-                headers.update(h.substring(0, colon).trim.toLowerCase,
+                headers.update(h.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT),
                   h.substring(colon + 1).trim)
               h = readLine()
             }
@@ -190,7 +190,7 @@ object Warc {
     // chunked response kept raw would interleave hex chunk-size lines
     // with the markup, so mirror the decode here.
     val body =
-      if (header("Transfer-Encoding").toLowerCase.contains("chunked"))
+      if (header("Transfer-Encoding").toLowerCase(java.util.Locale.ROOT).contains("chunked"))
         dechunk(rawBody)
       else rawBody
     HttpPayload(charset, header("Content-Type").split(";", 2)(0).trim,
@@ -251,7 +251,7 @@ object Warc {
     val scheme = s.indexOf("://")
     if (scheme >= 0) s = s.substring(scheme + 3)
     val slash = s.indexOf('/')
-    s = if (slash >= 0) s.substring(0, slash).toLowerCase + s.substring(slash) else s.toLowerCase
+    s = if (slash >= 0) s.substring(0, slash).toLowerCase(java.util.Locale.ROOT) + s.substring(slash) else s.toLowerCase(java.util.Locale.ROOT)
     s = s.replaceAll("^www\\d*\\.", "").replaceAll("/+$", "")
     s
   }

@@ -23,7 +23,8 @@ object StreamingTagger {
     graft.operators.TagRunner.tag(docs, taggers, experiment, idCol, textCol)
 
   /** Watermarked per-window quality metrics over a timestamped doc
-    * stream: count + mean quality + PII rate per (window, lang). */
+    * stream: doc count, mean text length, and the fraction of docs with
+    * an email-ish marker per (window, lang). */
   def windowedQualityMetrics(docs: DataFrame, tsCol: String,
       watermark: String = "10 minutes", window_ : String = "5 minutes"): DataFrame = {
     docs
@@ -31,35 +32,54 @@ object StreamingTagger {
       .groupBy(window(col(tsCol), window_), col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(length(col("content"))).as("chars"),
-        sum(when(col("content").contains("@"), 1).otherwise(0)).as("docs_with_at"))
+        avg(length(col("content"))).as("mean_chars"),
+        avg(when(col("content").contains("@"), 1.0).otherwise(0.0)).as("pii_rate"))
   }
 
   /** Stateful stream: per-user session aggregation with
-    * `flatMapGroupsWithState` — counts events per session, emitting a
-    * session row when the 30-minute gap timeout fires. The custom-state
-    * surface (KeyValueGroupedDataset) of SURVEY §2.8. */
-  def sessionize(events: org.apache.spark.sql.Dataset[(Long, Long)])
+    * `flatMapGroupsWithState` and an EVENT-TIME timeout — the custom-state
+    * surface (KeyValueGroupedDataset) of SURVEY §2.8. A session closes and
+    * emits `(user, session_start_us, n_events)` either when a later event
+    * arrives past the 30-minute gap, or when the stream's WATERMARK passes
+    * `last + gap` (the timeout path): a user who goes idle still gets
+    * their final session emitted, and their state is REMOVED — state size
+    * is bounded by currently-active users, not every user ever seen.
+    * `events` carries (`userCol`: long, `tsCol`: timestamp); the watermark
+    * is applied here (EventTimeTimeout requires one). */
+  def sessionize(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", watermarkDelay: String = "0 seconds")
       : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    events.groupByKey(_._1)
+    val gapUs = 1800000000L
+    events
+      .select(col(userCol).cast("long").as("u"), col(tsCol).cast("timestamp").as("t"))
+      .withWatermark("t", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        // state = (sessionStartUs, lastUs, count); emit closed sessions
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        // state = (sessionStartUs, lastUs, count)
         case (user, rows, state: GroupState[(Long, Long, Long)]) =>
-          val gap = 1800000000L
-          var (start, last, count) = state.getOption.getOrElse((0L, 0L, 0L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-          rows.toSeq.sortBy(_._2).foreach { case (_, us) =>
-            if (count == 0) { start = us; last = us; count = 1 }
-            else if (us - last > gap) {
-              out += ((user, start, count))
-              start = us; last = us; count = 1
-            } else { last = us; count += 1 }
+          if (state.hasTimedOut) {
+            val (start, _, count) = state.get
+            state.remove()
+            Iterator.single((user, start, count))
+          } else {
+            var (start, last, count) = state.getOption.getOrElse((0L, 0L, 0L))
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            rows.map(_._2.getTime * 1000L).toSeq.sorted.foreach { us =>
+              if (count == 0) { start = us; last = us; count = 1 }
+              else if (us - last > gapUs) {
+                out += ((user, start, count))
+                start = us; last = us; count = 1
+              } else { last = us; count += 1 }
+            }
+            state.update((start, last, count))
+            // fire once the watermark passes the session's gap horizon
+            state.setTimeoutTimestamp(last / 1000L + gapUs / 1000L)
+            out.iterator
           }
-          state.update((start, last, count))
-          out.iterator
       }
   }
 
@@ -86,16 +106,14 @@ object StreamingTagger {
       }
   }
 
-  /** Run a stream from `sourceDir` (parquet files appearing over time)
-    * into an in-memory table, processing everything currently available —
-    * the batch-driven smoke harness (Trigger.AvailableNow). */
-  def runAvailableNow(spark: SparkSession, stream: DataFrame, queryName: String): StreamingQuery = {
-    val q = stream.writeStream
+  /** Drain an already-built stream into an in-memory table, processing
+    * everything currently available — the batch-driven smoke harness
+    * (Trigger.AvailableNow; memory sink = verification vehicle only). */
+  def runAvailableNow(stream: DataFrame, queryName: String): StreamingQuery =
+    stream.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q
-  }
 }

@@ -26,7 +26,7 @@ final class C4Tagger(fast: Boolean, naughtyWords: Set[String], naughtyPhrases: S
 
   private def predictFast(text: String): Vector[Span] = {
     val spans = Vector.newBuilder[Span]
-    val lower = text.toLowerCase
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
     val docLen = CodePoints.length(text)
 
     if (lower.contains("{")) spans += Span(0, docLen, "has_curly_brace", 1.0)
@@ -71,7 +71,7 @@ final class C4Tagger(fast: Boolean, naughtyWords: Set[String], naughtyPhrases: S
       val original = lines(i)
       var end = offset + CodePoints.length(original)
       if (i < lines.length - 1) end += 1
-      val line = original.toLowerCase.trim
+      val line = original.toLowerCase(java.util.Locale.ROOT).trim
       if (!endsWithEolPunct(line)) noPunct += Span(offset, end, "lines_with_no_ending_punctuation", 1.0)
       val words = TextSplit.pythonSplit(line)
       if (words.length < MinWordsPerLine) tooFew += Span(offset, end, "lines_with_too_few_words", 1.0)

@@ -27,7 +27,7 @@ object TextQualityTaggers {
 
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
       val n = CodePoints.length(text)
-      val words = TextSplit.pythonSplit(text.toLowerCase)
+      val words = TextSplit.pythonSplit(text.toLowerCase(java.util.Locale.ROOT))
       if (words.isEmpty) return Vector(Span(0, n, "en", 0.0))
       val hits = profiles.map { case (lang, stops) =>
         lang -> words.count(stops.contains).toDouble
@@ -53,7 +53,7 @@ object TextQualityTaggers {
           Span(0, 0, "punct_ratio", 0.0), Span(0, 0, "mean_word_length", 0.0))
       val words = TextSplit.pythonSplit(text)
       val wc = math.max(words.length, 1)
-      val stopRatio = words.count(w => stopwords.contains(w.toLowerCase)).toDouble / wc
+      val stopRatio = words.count(w => stopwords.contains(w.toLowerCase(java.util.Locale.ROOT))).toDouble / wc
       var punct = 0
       var i = 0
       while (i < text.length) {
@@ -106,7 +106,7 @@ object TextQualityTaggers {
   /** FNV-1a over lowercase words, separator-byte framed. */
   def fnv64Words(text: String): Long = {
     var h = 0xcbf29ce484222325L
-    val words = TextSplit.pythonSplit(text.toLowerCase)
+    val words = TextSplit.pythonSplit(text.toLowerCase(java.util.Locale.ROOT))
     var i = 0
     while (i < words.length) {
       val w = words(i)

@@ -70,7 +70,7 @@ object UrlRules {
   def linkCleanUrl(url: String): Option[String] =
     parseUrl(url).map { p =>
       val portPart = p.port.map(n => s":$n").getOrElse("")
-      (p.host + portPart + p.path).reverse.dropWhile(_ == '/').reverse.toLowerCase
+      (p.host + portPart + p.path).reverse.dropWhile(_ == '/').reverse.toLowerCase(java.util.Locale.ROOT)
     }.filter(_.nonEmpty)
 
   /** Python `s.lstrip("www.")`: strips the leading char SET {'w','.'}. */
@@ -144,7 +144,7 @@ object UrlRules {
     * `self.clean_url` dynamically — the wikidata subclass routes the
     * grammar's matches through its own expanded cleaner). */
   def parseLine(line: String, clean: String => Seq[String]): Seq[String] = {
-    val ln = line.trim.toLowerCase
+    val ln = line.trim.toLowerCase(java.util.Locale.ROOT)
     if (ln.isEmpty || ln.startsWith("#") || ln.startsWith(";") || ln.startsWith("!"))
       return Seq.empty
     ln match {
@@ -172,7 +172,7 @@ object UrlRules {
   /** LinkBlocklistPhishingTagger.parse_line (url.py:161-166): raw lines,
     * `#` comments only. */
   def parseRawLine(line: String): Seq[String] = {
-    val ln = line.trim.toLowerCase
+    val ln = line.trim.toLowerCase(java.util.Locale.ROOT)
     if (ln.isEmpty || ln.startsWith("#")) Seq.empty else Seq(ln)
   }
 
@@ -251,7 +251,7 @@ final class AbpBlocker(ruleLines: Seq[String]) extends Serializable {
     * assumed http; `requestType` "" = generic network request. */
   def checkNetworkUrls(url0: String, requestType: String = ""): Boolean = {
     val url = {
-      val u = url0.trim.toLowerCase
+      val u = url0.trim.toLowerCase(java.util.Locale.ROOT)
       if (u.contains("://")) u else s"http://$u"
     }
     val host = UrlRules.parseUrl(url).map(_.host).getOrElse("")
@@ -315,7 +315,7 @@ object AbpBlocker {
     else if (ln.startsWith("|")) { startAnchor = true; ln = ln.substring(1) }
     if (ln.endsWith("|")) { endAnchor = true; ln = ln.substring(0, ln.length - 1) }
     if (ln.isEmpty) None
-    else Some(Rule(ln.toLowerCase, hostAnchor, startAnchor, endAnchor,
+    else Some(Rule(ln.toLowerCase(java.util.Locale.ROOT), hostAnchor, startAnchor, endAnchor,
       includeTypes, excludeTypes, exception))
   }
 

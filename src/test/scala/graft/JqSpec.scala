@@ -87,6 +87,24 @@ class JqSpec extends AnyFunSuite {
     intercept[Jq.JqError](f.shouldKeep(doc))
   }
 
+  test("number literals: signed exponents parse; malformed numbers are JqError") {
+    val doc = parseJson("""{"attributes": {"q": [[0, 3, 0.5]]}}""")
+    // 1e-4 / 2.5E+1 previously threw raw NumberFormatException mid-scan
+    assert(filterOf(Seq(".attributes.q[0][2] > 1e-4"), Nil).shouldKeep(doc))
+    assert(!filterOf(Seq(".attributes.q[0][2] > 2.5E+1"), Nil).shouldKeep(doc))
+    intercept[Jq.JqError](Jq.compile(".x > 1e"))
+  }
+
+  test("string literals decode standard JSON escapes") {
+    val doc = parseJson("""{"text": "a\nb", "attributes": {}}""")
+    // "a\nb" must compile to a literal containing a REAL newline
+    assert(filterOf(Seq(""".text == "a\nb""""), Nil).shouldKeep(doc))
+    val tab = parseJson("""{"text": "x\ty", "attributes": {}}""")
+    assert(filterOf(Seq(""".text == "x\ty""""), Nil).shouldKeep(tab))
+    val uni = parseJson("""{"text": "café", "attributes": {}}""")
+    assert(filterOf(Seq(""".text == "café""""), Nil).shouldKeep(uni))
+  }
+
   test("output truthiness table (filters.rs:299-317)") {
     assert(!outputTruth(JNull))
     assert(!outputTruth(JBool(false)) && outputTruth(JBool(true)))

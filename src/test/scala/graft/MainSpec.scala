@@ -504,6 +504,26 @@ class MainSpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  test("min_text_length trims ALL Unicode whitespace like Rust str::trim") {
+    // "short\n" must measure 5 bytes (dropped at 6), not 6: the reference
+    // computes data["text"].trim().len() with Rust trim (shard.rs:451)
+    val dir = Files.createTempDirectory("graft-trimlen").toString
+    Seq(("a", "short\n"), ("b", "longer text\n"), ("c", "\u00A0six\u00A0"))
+      .toDF("id", "content").write.parquet(s"$dir/in")
+    val config =
+      s"""{
+         |  "input": {"format": "parquet", "path": "$dir/in", "id": "id", "text": "content"},
+         |  "min_text_length": 6,
+         |  "output": {"path": "$dir/out", "format": "parquet"}
+         |}""".stripMargin
+    Main.run(spark, new com.fasterxml.jackson.databind.ObjectMapper().readTree(config))
+    val kept = spark.read.parquet(s"$dir/out").select("id").as[String].collect().toSet
+    // a: trim("short\n")="short" -> 5 bytes < 6, dropped.
+    // b: 11 bytes, kept. c: NBSP is Unicode whitespace -> "six" 3 bytes,
+    // dropped (ASCII-only trim would have measured 3+2*2 bytes = kept)
+    assert(kept == Set("b"), kept.toString)
+  }
+
   test("jsonl output is dolma format (text field) and feeds the tokens stage") {
     val dir = Files.createTempDirectory("graft-jsonl-tok").toString
     Seq(("a", "alpha body"), ("b", "beta body text"))

@@ -199,24 +199,48 @@ class RuntimeSpec extends AnyFunSuite {
     assert(Multimodal.parseVideoContainer(truncated).isEmpty)
   }
 
-  test("streaming: stateful sessionization with flatMapGroupsWithState") {
+  test("streaming: sessionization emits on gap AND on event-time timeout") {
     val dir = Files.createTempDirectory("graft-sess").toString
-    val gap = 1800000000L
-    // user 1: two sessions (gap between event 2 and 3); user 2: one open
-    Seq((1L, 0L), (1L, 1000L), (1L, gap * 2), (2L, 5L))
-      .toDF("user_id", "us").write.parquet(dir + "/in")
-    val schema = spark.read.parquet(dir + "/in").schema
-    val stream = spark.readStream.schema(schema).parquet(dir + "/in")
-      .as[(Long, Long)]
+    Files.createDirectories(java.nio.file.Paths.get(dir, "in"))
+    // three single-file batches (maxFilesPerTrigger=1) so the watermark
+    // advances BETWEEN batches and the timeout path actually fires
+    def writeBatch(n: Int, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val tmp = Files.createTempDirectory(s"graft-sess-b$n").toString + "/w"
+      rows.toDF("user_id", "ts").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(dir, "in", f"b$n%02d.parquet")
+      Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000L * n))
+    }
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // batch 1: user 1 events at 10s/11s; user 2 at 15s (epoch 0 would sit
+    // exactly ON the initial watermark and be filtered as late data)
+    writeBatch(1, Seq((1L, ts(10)), (1L, ts(11)), (2L, ts(15))))
+    // batch 2: user 1 again at 4000s (> 30 min gap -> emits the first
+    // session immediately) and user 9 at 7200s (advances the watermark)
+    writeBatch(2, Seq((1L, ts(4000)), (9L, ts(7200))))
+    // batch 3: keeps the query alive one more micro-batch so the 7200s
+    // watermark can fire the timeouts of users 1 and 2
+    writeBatch(3, Seq((9L, ts(7201))))
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
     val sessions = graft.streaming.StreamingTagger.sessionize(stream)
       .toDF("user_id", "session_start", "n_events")
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // only user 1's FIRST session is closed (emitted); the rest stay open
     val out = spark.table("sessions").as[(Long, Long, Long)].collect().toSet
-    assert(out == Set((1L, 0L, 2L)))
+    // gap-split emission: user 1's first session (2 events from 0s);
+    // timeout emissions once the watermark passed last+30min: user 1's
+    // second session (1 event at 4000s) and user 2's (1 event at 5s).
+    // user 9's session is still open (watermark never passed it).
+    assert(out == Set(
+      (1L, 10000000L, 2L), (1L, 4000000000L, 1L), (2L, 15000000L, 1L)),
+      out.toString)
   }
 
   test("streaming: fused tagger battery over a stream (AvailableNow)") {
@@ -227,7 +251,7 @@ class RuntimeSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema).parquet(dir + "/in")
     val tagged = graft.streaming.StreamingTagger.tagStream(
       stream, Seq("char_length_v1"), "s")
-    val q = graft.streaming.StreamingTagger.runAvailableNow(spark, tagged, "tagged_stream")
+    val q = graft.streaming.StreamingTagger.runAvailableNow(tagged, "tagged_stream")
     q.awaitTermination()
     val out = spark.table("tagged_stream")
     assert(out.count() == 2)
