@@ -37,12 +37,24 @@ object Attributes {
   def mangle(experiment: String, tagger: String, typ: String): String =
     s"${sanitize(experiment)}__${sanitize(tagger)}__${sanitize(typ)}"
 
+  /** make_variable_name (core/registry.py): ASCII [a-zA-Z0-9_] survive,
+    * everything else becomes '_' — Char.isLetterOrDigit would keep
+    * non-ASCII letters and mangle differently than the reference. */
   def sanitize(name: String): String =
-    name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    name.map(c => if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_') c else '_')
 
   /** Score rounding applied at emission (core/taggers.py:22,49). */
   def roundScore(score: Double, digits: Int = 5): Double = {
     if (score.isNaN || score.isInfinite) score
-    else BigDecimal(score).setScale(digits, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    // Python round() half-even-rounds the EXACT binary value of the
+    // double; scala's BigDecimal(double) goes through Double.toString
+    // (shortest decimal repr), which lands on artificial ties — e.g.
+    // 1.0/320 prints as "0.003125" and HALF_EVEN gives 0.00312, while the
+    // stored binary is fractionally above the tie and Python gives
+    // 0.00313. The exact java.math.BigDecimal(double) constructor matches
+    // Python on every value.
+    else new java.math.BigDecimal(score)
+      .setScale(digits, java.math.RoundingMode.HALF_EVEN).doubleValue()
   }
 }

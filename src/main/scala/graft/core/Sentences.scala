@@ -66,7 +66,8 @@ object Sentences {
           i = j; cp = jcp
         } else { i += 1; cp += 1 }
       } else {
-        i += (if (Character.isHighSurrogate(c) && i + 1 < n) 2 else 1)
+        i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(text.charAt(i + 1))) 2 else 1)
         cp += 1
       }
     }

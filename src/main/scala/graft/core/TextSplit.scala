@@ -41,13 +41,19 @@ object TextSplit {
         segStartCp = cp + 1
         i += 1; cp += 1
       } else {
-        i += (if (Character.isHighSurrogate(c) && i + 1 < n) 2 else 1)
+        // advance 2 only over a REAL surrogate pair: a lone high surrogate
+        // (malformed UTF-16 from crawl JSON) must not swallow the next
+        // char — Python len() counts lone surrogates one each
+        i += (if (Character.isHighSurrogate(c) && i + 1 < n &&
+          Character.isLowSurrogate(text.charAt(i + 1))) 2 else 1)
         cp += 1
       }
     }
     if (cp > segStartCp) out += TextSlice(text, segStartCp, cp)
     val v = out.toVector
-    if (removeEmpty) v.filter(s => s.text.trim.nonEmpty) else v
+    // Python str.strip() whitespace, not String.trim (<= U+0020): an
+    // NBSP-only paragraph is EMPTY to the reference and must drop
+    if (removeEmpty) v.filter(s => s.text.exists(c => !isPyWhitespace(c))) else v
   }
 
   /** Python `str.split()` — splits on runs of whitespace, drops empties. */
@@ -64,6 +70,16 @@ object TextSplit {
     }
     if (start >= 0) out += text.substring(start, n)
     out.toArray
+  }
+
+  /** Python `str.strip()` — strips Unicode whitespace from both ends
+    * (String.trim only strips chars <= U+0020, keeping NBSP etc.). */
+  def pyStrip(text: String): String = {
+    var a = 0
+    var b = text.length
+    while (a < b && isPyWhitespace(text.charAt(a))) a += 1
+    while (b > a && isPyWhitespace(text.charAt(b - 1))) b -= 1
+    text.substring(a, b)
   }
 
   /** Python `str.isspace()`-compatible whitespace test (covers the chars
@@ -105,7 +121,10 @@ object TextSplit {
   /** Reference word tokenizer `\w+|[^\w\s]+`
     * (/root/reference/python/dolma/taggers/code/utils.py:75-76 and
     * src/wimbd/tokens.rs:11-20). Returns slices with code-point offsets. */
-  private val WordTokenRe = "[\\w]+|[^\\w\\s]+".r
+  // (?U) = UNICODE_CHARACTER_CLASS: the reference's `regex` module and
+  // the Rust regex crate are Unicode-aware, so \w must cover accented
+  // letters/CJK — ASCII \w split "héllo" into 3 tokens instead of 1
+  private val WordTokenRe = "(?U)[\\w]+|[^\\w\\s]+".r
   def wordTokens(text: String): Vector[TextSlice] = {
     // regex over UTF-16; convert offsets to code points only if needed
     val bmp = CodePoints.isBmpOnly(text)
@@ -125,26 +144,30 @@ object TextSplit {
     WordTokenRe.findAllMatchIn(text).length + 1
   }
 
-  /** Simplified Unicode word segmentation (uniseg stand-in): letters/digits
-    * runs are words, whitespace runs are one segment, everything else is a
-    * per-char segment. Counts only non-whitespace words like
-    * uniseg_length_paragraphs_v1 (length.py:85-103). */
+  /** UAX-29 word segmentation via ICU (the same BreakIterator
+    * UnisegLengthV1 uses — uniseg, the reference library, implements the
+    * same annex), counting only segments with a non-whitespace char:
+    * uniseg_length_paragraphs_v1 (length.py:94-96). A hand-rolled
+    * letters/digits splitter breaks "don't" into 4 segments and "3.14"
+    * into 3 where UAX-29 keeps ALetter×MidNumLetQ×ALetter and
+    * Numeric×MidNumLetQ×Numeric together. */
   def unisegWordCount(text: String): Int = {
+    if (text.isEmpty) return 0
+    val bi = com.ibm.icu.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
+    bi.setText(text)
     var count = 0
-    var i = 0
-    val n = text.length
-    while (i < n) {
-      val cp = text.codePointAt(i)
-      if (Character.isLetterOrDigit(cp)) {
-        count += 1
-        while (i < n && Character.isLetterOrDigit(text.codePointAt(i)))
-          i += Character.charCount(text.codePointAt(i))
-      } else if (Character.isWhitespace(cp) || isPyWhitespace(text.charAt(i))) {
-        i += Character.charCount(cp)
-      } else {
-        count += 1
-        i += Character.charCount(cp)
+    var start = bi.first()
+    var end = bi.next()
+    while (end != com.ibm.icu.text.BreakIterator.DONE) {
+      var i = start
+      var nonWs = false
+      while (i < end && !nonWs) {
+        if (!isPyWhitespace(text.charAt(i))) nonWs = true
+        i += 1
       }
+      if (nonWs) count += 1
+      start = end
+      end = bi.next()
     }
     count
   }

@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Analyzer {
 
-  /** Log10 bucket index: floor(log10(|v|) * bucketsPerDecade) with
-    * sign, 0 for |v| < 1e-9 — the fixed log-bucket tracker's shape. */
+  /** Log10 bucket index, sign-aware and INJECTIVE across sign:
+    * 0 for |v| < 1e-9, else sign(v) * (floor(log10|v|·bpd) + 10^6).
+    * A bare sign*floor would conflate populations: ±1.0 both land on 0
+    * with true zeros, and -0.5 collides with +2.51 — mixed-sign
+    * attributes (doc_frac's -1 sentinel, negative_paragraph) would get
+    * merged histogram buckets. The offset keeps the three ranges
+    * (negative / zero / positive) disjoint for any |v| > 1e-100. */
   def logBucket(v: Column, bucketsPerDecade: Int = 10): Column = {
     val mag = abs(v)
     when(mag < 1e-9, lit(0L)).otherwise(
       signum(v).cast("long") *
-        floor(log10(greatest(mag, lit(1e-9))) * bucketsPerDecade).cast("long"))
+        (floor(log10(greatest(mag, lit(1e-9))) * bucketsPerDecade).cast("long") +
+          lit(1000000L)))
   }
 
   /** Histogram of an exploded attribute table `(attr, score)` →
@@ -47,7 +53,8 @@ object Analyzer {
       val v = math.min(v0, cap)
       val mag = math.abs(v)
       if (mag < 1e-9) 0L
-      else math.signum(v).toLong * math.floor(math.log10(mag) * bucketsPerDecade).toLong
+      else math.signum(v).toLong *
+        (math.floor(math.log10(mag) * bucketsPerDecade).toLong + 1000000L)
     }
     def reduce(b: Map[Long, Long], a: Double): Map[Long, Long] = {
       val k = bucketOf(a)

@@ -37,7 +37,9 @@ object Ann {
   def cosineLiteral(vec: Column, q: Seq[Double]): Column = {
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     val den = norm(vec) * lit(qNorm)
-    when(den > 0, dotLiteral(vec, q) / den)
+    // NaN guard too: Spark evaluates NaN > 0 as TRUE (NaN sorts largest),
+    // so a failed-embed NaN vector would rank #1 under desc
+    when(den > 0 && !isnan(den), dotLiteral(vec, q) / den)
   }
 
   /** Exact top-k cosine neighbors of `query`. */

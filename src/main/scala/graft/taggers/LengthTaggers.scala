@@ -23,7 +23,9 @@ object LengthTaggers {
     val name = "char_length_strip_ws_v1"
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
       val n = CodePoints.length(text)
-      Vector(Span(0, n, "length_no_ws", CodePoints.length(text.trim).toDouble))
+      // Python strip(): NBSP and friends are whitespace; trim keeps them
+      Vector(Span(0, n, "length_no_ws",
+        CodePoints.length(TextSplit.pyStrip(text)).toDouble))
     }
   }
 
@@ -56,7 +58,7 @@ object LengthTaggers {
   final class UnisegLengthV1 extends Tagger {
     val name = "uniseg_length_v1"
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
-      val stripped = text.trim
+      val stripped = TextSplit.pyStrip(text)
       val score = if (stripped.isEmpty) 0 else {
         val bi = com.ibm.icu.text.BreakIterator.getWordInstance(java.util.Locale.ROOT)
         bi.setText(stripped)
@@ -103,7 +105,7 @@ object LengthTaggers {
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
       val paras = TextSplit.splitParagraphs(text, removeEmpty = !withEmpty)
       val spans = paras.flatMap { p =>
-        val len = TextSplit.unisegWordCount(p.text.trim)
+        val len = TextSplit.unisegWordCount(TextSplit.pyStrip(p.text))
         Vector(
           Span(p.start, p.end, "paragraph", len.toDouble),
           Span(p.start, p.end, "negative_paragraph", -len.toDouble))
@@ -214,7 +216,7 @@ object LengthTaggers {
     // resolved lazily per executor; the parsed model is JVM-cached
     @transient private lazy val tok = graft.ml.HfTokenizer.forTaggerName(name)
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
-      val stripped = text.strip()
+      val stripped = TextSplit.pyStrip(text) // Java strip() keeps \u00a0/\u2007/\u202f
       val score = if (stripped.isEmpty) 0 else tok.encode(stripped).length
       Vector(Span(0, CodePoints.length(text), "length", score.toDouble))
     }

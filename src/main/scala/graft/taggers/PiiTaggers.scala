@@ -23,14 +23,19 @@ object PiiTaggers {
   val UrlRegex =
     "(?i)((?:https?://|www\\d{0,3}[.]|[a-z0-9.\\-]+[.][a-z]{2,4}/)(?:[^\\s()<>]+|\\(([^\\s()<>]+|(\\([^\\s()<>]+\\)))*\\))+(?:\\(([^\\s()<>]+|(\\([^\\s()<>]+\\)))*\\)|[^\\s`!()\\[\\]{};:'\".,<>?«»“”‘’]))"
 
+  // Python `re` on str is Unicode-aware: \s matches NBSP, \d matches
+  // Unicode digits. Java defaults to ASCII classes, silently missing PII
+  // adjacent to Unicode whitespace ("foo@bar.com\u00a0next").
+  private val U = Pattern.UNICODE_CHARACTER_CLASS
+
   final class FastPiiRegex extends Tagger {
     val name = "pii_regex_with_counts_fast_v2"
-    private val email = Pattern.compile(EmailRegex)
-    private val phone = Pattern.compile(PhoneRegex)
-    private val ip = Pattern.compile(IpRegex)
-    private val url = Pattern.compile(UrlRegex)
-    private val preIp = Pattern.compile("\\.[^\\s]")
-    private val prePhone = Pattern.compile("\\d")
+    private val email = Pattern.compile(EmailRegex, U)
+    private val phone = Pattern.compile(PhoneRegex, U)
+    private val ip = Pattern.compile(IpRegex, U)
+    private val url = Pattern.compile(UrlRegex, U)
+    private val preIp = Pattern.compile("\\.[^\\s]", U)
+    private val prePhone = Pattern.compile("\\d", U)
 
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
       val docLen = CodePoints.length(text)
@@ -95,12 +100,12 @@ object PiiTaggers {
   /** Postprocessed regex variant `pii_regex_v2` (pii.py:78-159,177-182):
     * whole-doc regexes, context-window suppression near isbn/doi/#, phone
     * suppressed when the doc contains a URL. */
-  final class PiiRegexV2 extends Tagger {
+  class PiiRegexV2 extends Tagger {
     val name = "pii_regex_v2"
-    private val email = Pattern.compile(EmailRegex)
-    private val phone = Pattern.compile(PhoneRegex)
-    private val ip = Pattern.compile(IpRegex)
-    private val url = Pattern.compile(UrlRegex)
+    private val email = Pattern.compile(EmailRegex, U)
+    private val phone = Pattern.compile(PhoneRegex, U)
+    private val ip = Pattern.compile(IpRegex, U)
+    private val url = Pattern.compile(UrlRegex, U)
     private val Window = 100
 
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
@@ -119,8 +124,12 @@ object PiiTaggers {
         s.typ match {
           case "EMAIL_ADDRESS" =>
             val mention = CodePoints.slice(text, s.start.toInt, s.end.toInt)
-            val parts = mention.split("@", 2)
-            parts.length == 2 && parts(0).trim != "(" && parts(1).contains(".")
+            // reference quirk (pii.py:155-156): mention.split("@")[1] is
+            // the segment between the FIRST and SECOND '@' — the match's
+            // junk prefix class includes '@', so "@user@mail.com" must
+            // test "user" (no dot -> dropped), not "mail.com"
+            val parts = mention.split("@", -1)
+            parts.length >= 2 && parts(0).trim != "(" && parts(1).contains(".")
           case _ =>
             val ctx = CodePoints.slice(text,
               math.max(0, s.start.toInt - Window), math.min(docLen, s.end.toInt + Window))
@@ -131,13 +140,26 @@ object PiiTaggers {
       }
       val words = TextSplit.pythonSplit(text).length
       val score = if (words == 0) -1.0 else kept.length.toDouble / words
-      val withDoc = kept :+ Span(0, docLen, "doc", score)
-      withDoc :+ Span(0, docLen, "doc_count", kept.length.toDouble)
+      // pii_regex_v2 emits ONLY the PII spans + "doc" (pii.py:74-92);
+      // doc_count belongs to the separate pii_regex_with_counts_v2
+      kept :+ Span(0, docLen, "doc", score)
+    }
+  }
+
+  /** pii_regex_with_counts_v2 (pii.py:283-291): the V2 surface plus a
+    * doc_count span counting the non-"doc" spans. */
+  final class PiiRegexWithCountsV2 extends PiiRegexV2 {
+    override val name = "pii_regex_with_counts_v2"
+    override def predict(text: String, meta: Map[String, String]): Vector[Span] = {
+      val base = super.predict(text, meta)
+      val count = base.count(_.typ != "doc")
+      base :+ Span(0, CodePoints.length(text), "doc_count", count.toDouble)
     }
   }
 
   def registerAll(): Unit = {
     TaggerRegistry.register("pii_regex_with_counts_fast_v2")(new FastPiiRegex)
     TaggerRegistry.register("pii_regex_v2")(new PiiRegexV2)
+    TaggerRegistry.register("pii_regex_with_counts_v2")(new PiiRegexWithCountsV2)
   }
 }

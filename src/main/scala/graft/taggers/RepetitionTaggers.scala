@@ -32,7 +32,13 @@ object RepetitionTaggers {
     val Mask = Int.MinValue
     var period = minPeriod
     while (period <= maxP) {
-      val rows = (n + period - 1) / period
+      // np.pad adds `period - (len % period)` mask cells (utils.py:74) —
+      // a FULL mask row when the period divides the length. That row is
+      // what np.roll wraps row 0 onto, so row 0 can never match its
+      // "previous" row; wrapping onto the last DATA row instead produced
+      // false repetition spans ([1,2,1,2] must emit nothing) and
+      // +1-inflated times ([7,7,7] is 3 times, not 4).
+      val rows = n / period + 1
       // eq(r)(c) = padded(r,c) == padded((r-1+rows)%rows, c)  (np.roll wraps)
       val eq = Array.ofDim[Boolean](rows, period)
       val rowAllEq = new Array[Boolean](rows)
@@ -96,7 +102,11 @@ object RepetitionTaggers {
     if (run > 0) a.length - run else -1
   }
 
-  private val CharRepRe = Pattern.compile("(.+?)(\\s?\\1){3,}")
+  // UNIX_LINES: Python '.' excludes only \n (Java default also excludes
+  // \r/\u0085/\u2028/\u2029, missing repetitions whose unit spans a CR);
+  // UNICODE_CHARACTER_CLASS: Python \s is Unicode
+  private val CharRepRe = Pattern.compile("(.+?)(\\s?\\1){3,}",
+    Pattern.UNIX_LINES | Pattern.UNICODE_CHARACTER_CLASS)
 
   /** Char-repetition spans of one text (repetitions_taggers.py:75-81). */
   private def extractCharReps(text: String): Vector[Span] = {
