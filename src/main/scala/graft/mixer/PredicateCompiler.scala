@@ -114,10 +114,17 @@ object PredicateCompiler {
       skipWs()
       val start = pos
       if (pos < s.length && (s.charAt(pos) == '-' || s.charAt(pos) == '+')) pos += 1
-      while (pos < s.length && (s.charAt(pos).isDigit || s.charAt(pos) == '.' ||
-        s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) pos += 1
+      var prevExp = false
+      while (pos < s.length && {
+        val ch = s.charAt(pos)
+        ch.isDigit || ch == '.' || ch == 'e' || ch == 'E' ||
+          // exponent sign directly after e/E: 1e-5, 2.5E+10
+          (prevExp && (ch == '+' || ch == '-'))
+      }) { prevExp = s.charAt(pos) == 'e' || s.charAt(pos) == 'E'; pos += 1 }
       require(pos > start, s"expected number at $start in: $s")
-      s.substring(start, pos).toDouble
+      val txt = s.substring(start, pos)
+      txt.toDoubleOption.getOrElse(
+        throw new IllegalArgumentException(s"malformed number '$txt' in: $s"))
     }
 
     /** A path value that remembers enough to coerce to numeric or truthy. */
@@ -154,17 +161,26 @@ object PredicateCompiler {
           require(eat("]"), s"expected ] at $pos in: $s")
           v.kind match {
             case "spans" =>
-              // jq negative index = from the end
+              // jq negative index = from the end. A negative index into an
+              // EMPTY array resolves to element_at(col, 0) — a hard Spark
+              // runtime error, where the reference yields null -> false —
+              // so guard the computed position to stay null-safe.
               val c =
                 if (idx >= 0) element_at(v.col, idx + 1)
-                else element_at(v.col, size(v.col) + idx + 1)
+                else {
+                  val p = size(v.col) + idx + 1
+                  when(p >= 1, element_at(v.col, p))
+                }
               v = PathValue(c, "span")
             case "span" =>
-              // triple position: 0=start 1=end 2=score
+              // triple position, negatives from the end like jq:
+              // 0/-3 = start, 1/-2 = end, 2/-1 = score
               val f = idx match {
-                case 0 => v.col.getField("start")
-                case 1 => v.col.getField("end")
-                case _ => v.col.getField("score")
+                case 0 | -3 => v.col.getField("start")
+                case 1 | -2 => v.col.getField("end")
+                case 2 | -1 => v.col.getField("score")
+                case other => throw new IllegalArgumentException(
+                  s"span triple index $other out of range (0..2 / -3..-1) in: $s")
               }
               v = PathValue(f, "scalar")
             case _ => throw new IllegalArgumentException(s"cannot index scalar at $pos in: $s")

@@ -46,7 +46,7 @@ final class C4Tagger(fast: Boolean, naughtyWords: Set[String], naughtyPhrases: S
       val sent0 = lines(li)
       var end = start + CodePoints.length(sent0)
       if (end != total) end += 1 // account for the newline
-      val sent = sent0.trim
+      val sent = TextSplit.pyStrip(sent0) // c4.py:115 Python strip()
       if (!endsWithEolPunct(sent))
         spans += Span(start, end, "lines_with_no_ending_punctuation", 1.0)
       if (TextSplit.pythonSplit(sent).length < MinWordsPerLine)
@@ -71,7 +71,7 @@ final class C4Tagger(fast: Boolean, naughtyWords: Set[String], naughtyPhrases: S
       val original = lines(i)
       var end = offset + CodePoints.length(original)
       if (i < lines.length - 1) end += 1
-      val line = original.toLowerCase(java.util.Locale.ROOT).trim
+      val line = TextSplit.pyStrip(original.toLowerCase(java.util.Locale.ROOT))
       if (!endsWithEolPunct(line)) noPunct += Span(offset, end, "lines_with_no_ending_punctuation", 1.0)
       val words = TextSplit.pythonSplit(line)
       if (words.length < MinWordsPerLine) tooFew += Span(offset, end, "lines_with_too_few_words", 1.0)

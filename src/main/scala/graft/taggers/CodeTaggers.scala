@@ -9,6 +9,16 @@ import java.util.regex.Pattern
   */
 object CodeTaggers {
 
+  /** Python str.isalnum per code point: letters plus Nd/Nl/No — Java's
+    * isLetterOrDigit excludes Nl/No, so superscripts and fractions would
+    * depress alnum_prop vs the reference. */
+  @inline def pyIsAlnum(cp: Int): Boolean =
+    Character.isLetter(cp) || {
+      val t = Character.getType(cp)
+      t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+        t == Character.OTHER_NUMBER
+    }
+
   /** RedPajama line stats (code_taggers.py:147-186): max/avg line length,
     * alnum char proportion, alpha chars per word-token. */
   final class RedPajamaTagger extends Tagger {
@@ -25,7 +35,7 @@ object CodeTaggers {
       var i = 0
       while (i < text.length) {
         val cp = text.codePointAt(i)
-        if (Character.isLetterOrDigit(cp)) alnum += 1
+        if (pyIsAlnum(cp)) alnum += 1
         if (Character.isLetter(cp)) alpha += 1
         i += Character.charCount(cp)
       }
@@ -183,7 +193,11 @@ object CodeTaggers {
       val lang = routeLang(meta)
       val known = CommentLexer.knowsLanguage(lang) || lang == "html"
       val (nlRatio, codeToText) =
-        if (!known) (-1.0, -1.0)
+        // empty text: the reference's get_nl_ratio / filter_html hit
+        // ZeroDivisionError and the bare except yields the (-1,-1)
+        // unknown sentinel (code_taggers.py:207-218) — empty __init__.py
+        // files are ubiquitous in code corpora
+        if (!known || text.isEmpty) (-1.0, -1.0)
         else {
           val nl = CommentLexer.commentRatio(text, lang)
           val ctt =

@@ -77,11 +77,12 @@ final class CodeCompositionTagger(model: => FastTextClassifier) extends Tagger {
     var active: String = null
     var boundaries = 0
     TextSplit.splitLines(text).foreach { raw =>
-      val line = raw.trim
+      val line = TextSplit.pyStrip(raw) // code_composition.py:85 strip()
       if (line.nonEmpty) {
         var label = "other"
         var entropy = 0.0
-        if (line.length > 3) {
+        // len(line) in Python is CODE POINTS (code_composition.py:51)
+        if (CodePoints.length(line) > 3) {
           val probs = m.predictProbaInto(line)
           var best = 0
           var i = 1
@@ -185,7 +186,7 @@ final class DclmQualityTagger(
     val name: String, model: => FastTextClassifier, negativeLabel: String) extends Tagger {
   private lazy val m = model
   def predict(text: String, meta: Map[String, String]): Vector[Span] = {
-    val joined = TextSplit.splitLines(text.trim).mkString(" ")
+    val joined = TextSplit.splitLines(TextSplit.pyStrip(text)).mkString(" ") // quality.py:29 strip()
     val (label, prob) = m.predict(joined)
     val score = if (label == negativeLabel) 1.0 - prob else prob
     Vector(Span(0, CodePoints.length(text), "score", score))
@@ -199,7 +200,7 @@ final class Dolma17QualityTagger(
     val name: String, model: => FastTextClassifier) extends Tagger {
   private lazy val m = model
   def predict(text: String, meta: Map[String, String]): Vector[Span] = {
-    val pre = TextSplit.pythonSplit(text.trim).mkString(" ")
+    val pre = TextSplit.pythonSplit(TextSplit.pyStrip(text)).mkString(" ") // HF Strip = Unicode ws
     val probs = m.predictProbaInto(pre)
     val docLen = CodePoints.length(text)
     m.labels.indices.sortBy(i => -probs(i))

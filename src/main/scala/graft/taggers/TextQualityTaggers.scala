@@ -99,7 +99,11 @@ object TextQualityTaggers {
     val name = "doc_fingerprint_v1"
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
       val n = CodePoints.length(text)
-      Vector(Span(0, n, "fingerprint", java.lang.Double.longBitsToDouble(fnv64Words(text))))
+      // top 53 hash bits as an EXACT integer double: reinterpreting raw
+      // bits (longBitsToDouble) made ~1/2048 of documents NaN (exponent
+      // all-ones), and Spark normalizes all NaNs equal — unrelated docs
+      // collided into one fingerprint bucket
+      Vector(Span(0, n, "fingerprint", (fnv64Words(text) >>> 11).toDouble))
     }
   }
 
@@ -129,11 +133,16 @@ object TextQualityTaggers {
     val name = "not_alphanum_paragraph_v1"
     private val allPunct = Pattern.compile("^[\\p{P}\\p{S}\\p{Z}\\s]*$")
     def predict(text: String, meta: Map[String, String]): Vector[Span] = {
-      TextSplit.splitParagraphs(text).iterator.flatMap { p =>
+      val spans = TextSplit.splitParagraphs(text).iterator.flatMap { p =>
         if (allPunct.matcher(p.text).matches())
           Some(Span(p.start, p.end, "all_punct", 1.0))
         else None
       }.toVector
+      // punctuation.py:36-38: a mandatory score-0 doc span when nothing
+      // matched, so the attribute is PRESENT on every document
+      if (spans.isEmpty)
+        Vector(Span(0, CodePoints.length(text), "all_punct", 0.0))
+      else spans
     }
   }
 

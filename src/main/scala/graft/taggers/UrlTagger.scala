@@ -154,10 +154,12 @@ object UrlRules {
         // fall through to the URL-only branch; the line is dropped
         if (!isIpv6(ip) && !isIpv4(ip)) Seq.empty
         else {
-          val ipPart = ip match {
-            case IgnoredIpStart(_) => Seq.empty
-            case _ => Seq(ip)
-          }
+          // reference quirk: the localhost-IP suppression regex is a
+          // non-f-string (url.py:62 — the literal "^{IGNORE_IP_REGEX
+          // .pattern}" never matches), so at reference RUNTIME the IP is
+          // ALWAYS yielded — 127.0.0.1/0.0.0.0 land in the blocklist.
+          // Mirror the observable behavior, not the intent.
+          val ipPart = Seq(ip)
           val urlPart =
             if (url == "localhost" || url == "localdomain") Seq.empty
             else clean(url)
@@ -419,13 +421,19 @@ object AbpBlocker {
   }
 }
 
-/** ABP-backed URL tagger (AdbUrlTagger, url.py:174-181). */
+/** ABP-backed URL tagger (AdbUrlTagger, url.py:174-181). The engine sees
+  * the CLEANED url — AdbUrlTagger inherits BaseUrlTagger.predict, which
+  * routes metadata urls through clean_url (host[:port]path, scheme and
+  * query stripped, url.py:113-133) before check_url; feeding the raw url
+  * would let query-string pattern rules fire that the reference never
+  * evaluates. */
 final class AbpUrlTagger(name0: String, blocker: AbpBlocker) extends Tagger {
   val name: String = name0
   def predict(text: String, meta: Map[String, String]): Vector[Span] = {
     val url = meta.getOrElse("url", "")
-    if (url.nonEmpty && blocker.checkNetworkUrls(url))
-      Vector(Span(0, CodePoints.length(text), "url", 1.0))
+    val hit = url.nonEmpty &&
+      UrlRules.linkCleanUrl(url).exists(c => blocker.checkNetworkUrls(c))
+    if (hit) Vector(Span(0, CodePoints.length(text), "url", 1.0))
     else Vector.empty
   }
 }
@@ -540,14 +548,19 @@ object UrlTaggers {
     DomainNames ++ AbpNames ++ LinkNames ++ AllowlistNames
 
   def registerAll(): Unit = {
-    DomainNames.foreach(n =>
-      TaggerRegistry.register(n)(domainTaggerFromLines(n, listLines(n))))
-    AbpNames.foreach(n =>
-      TaggerRegistry.register(n)(abpTaggerFromLines(n, listLines(n))))
-    LinkNames.foreach(n =>
-      TaggerRegistry.register(n)(new LinkBlocklistTagger(n,
-        listLines(n).flatMap(UrlRules.parseRawLine).toSet)))
-    AllowlistNames.foreach(n =>
-      TaggerRegistry.register(n)(new WikidataAllowlistTagger(n, listLines(n))))
+    // memoize each built tagger per JVM: the registry stores by-name
+    // thunks and TagRunner resolves inside every task, so an unmemoized
+    // factory would re-read and re-parse the (production: multi-GB) list
+    // file once per task — N concurrent in-heap copies per wave instead
+    // of one shared instance per executor
+    def memo(n: String)(build: => Tagger): Unit = {
+      lazy val built = build
+      TaggerRegistry.register(n)(built)
+    }
+    DomainNames.foreach(n => memo(n)(domainTaggerFromLines(n, listLines(n))))
+    AbpNames.foreach(n => memo(n)(abpTaggerFromLines(n, listLines(n))))
+    LinkNames.foreach(n => memo(n)(new LinkBlocklistTagger(n,
+      listLines(n).flatMap(UrlRules.parseRawLine).toSet)))
+    AllowlistNames.foreach(n => memo(n)(new WikidataAllowlistTagger(n, listLines(n))))
   }
 }

@@ -49,11 +49,14 @@ class UrlSpec extends AnyFunSuite {
     assert(domainBlocked("http://www.example.com/foo"))
   }
 
-  test("hosts-format line parsing: localhost IPs suppressed, IPs validated") {
-    // 0.0.0.0 / ::1 are never yielded as blockable hosts themselves
-    assert(!UrlRules.parseLine("0.0.0.0 example2.com", domainMode = false)
+  test("hosts-format line parsing: localhost IPs YIELDED (dead-regex quirk), IPs validated") {
+    // the reference INTENDS to suppress localhost IPs, but its
+    // IGNORE_IP_REGEX_START is a non-f-string (url.py:62) that never
+    // matches — at runtime 127.0.0.1/0.0.0.0/::1 land in the blocklist,
+    // and observable behavior wins over intent
+    assert(UrlRules.parseLine("0.0.0.0 example2.com", domainMode = false)
       .contains("0.0.0.0"))
-    assert(!UrlRules.parseLine("::1 example3.com", domainMode = false)
+    assert(UrlRules.parseLine("::1 example3.com", domainMode = false)
       .contains("::1"))
     // a NON-localhost IP is yielded alongside the domain
     assert(UrlRules.parseLine("1.2.3.4 ads.example.com", domainMode = false)
@@ -66,8 +69,10 @@ class UrlSpec extends AnyFunSuite {
     assert(UrlRules.parseLine("! c", domainMode = false).isEmpty)
     // ADP-format line yields the bare domain
     assert(UrlRules.parseLine("||berush.com^", domainMode = true) == Seq("berush.com"))
-    // localhost/localdomain URLs are skipped
-    assert(UrlRules.parseLine("127.0.0.1 localhost", domainMode = false).isEmpty)
+    // the localhost/localdomain HOSTNAME is skipped (that check is live,
+    // url.py:101-102) — but the IP still lands (dead-regex quirk above)
+    assert(UrlRules.parseLine("127.0.0.1 localhost", domainMode = false)
+      == Seq("127.0.0.1"))
   }
 
   test("Python lstrip-www quirk mirrored (url.py:146 `lstrip(\"www.\")`)") {
