@@ -735,7 +735,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 100).cast("long")).as("value_cents"))
       val name = s"graft_stream_${System.nanoTime()}"
+      // checkpoint on fast local scratch (TmpFs policy): the default temp
+      // checkpoint under java.io.tmpdir puts every offset/commit/state
+      // file on the throttled sandbox disk
       val q = stream.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", graft.runtime.TmpFs.scratchDir("ckpt-ev"))
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -757,7 +761,9 @@ object SparkEntry {
       val out = graft.streaming.StreamingTagger.dedupCounts(keys)
         .toDF("key", "total", "dups")
       val name = s"graft_dedup_stream_${System.nanoTime()}"
+      // fast-local checkpoint, same rationale as streaming_events_window
       val q = out.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", graft.runtime.TmpFs.scratchDir("ckpt-dd"))
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -853,7 +859,9 @@ object SparkEntry {
     // test (Warc.readRecords/extractDocuments) uses Hadoop FS paths and
     // is cluster-safe; only this fixture setup is not.
     "warc_extract" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-warc-q").toString
+      // harness-local fixture dir on fast local scratch (TmpFs policy; the
+      // engine under test reads it back through Hadoop FS either way)
+      val out = graft.runtime.TmpFs.scratchDir("graft-warc-q")
       val d = docs(s, dir).select(col("doc_id"),
         regexp_replace(regexp_replace(col("text"), "[&<>]", ""),
           "[ \\t\\n\\r]+", " ").as("clean"))
@@ -894,7 +902,7 @@ object SparkEntry {
     // NOTE harness-local: like warc_extract, the temp-dir fixture round-
     // trip is local[—]-only; TokenSink itself writes via Hadoop FS.
     "tokens_sink" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft-tokens-q").toString
+      val out = graft.runtime.TmpFs.scratchDir("graft-tokens-q")
       val d = docs(s, dir).withColumn("toks",
         graft.sources.TokenSink.tokenIds(col("text")))
       graft.sources.TokenSink
@@ -911,8 +919,8 @@ object SparkEntry {
     // NOTE harness-local like tokens_sink: temp-dir fixture + driver-side
     // shard readback for the check; reshard itself moves bytes task-side.
     "tokens_reshard" -> ((s, dir) => {
-      val src = java.nio.file.Files.createTempDirectory("graft-reshard-src").toString
-      val dst = java.nio.file.Files.createTempDirectory("graft-reshard-dst").toString
+      val src = graft.runtime.TmpFs.scratchDir("graft-reshard-src")
+      val dst = graft.runtime.TmpFs.scratchDir("graft-reshard-dst")
       val bc = s.sparkContext.broadcast(Models.codeBpe)
       val enc = udf((t: String) =>
         bc.value.encode(if (t == null) "" else t)

@@ -189,8 +189,18 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, idACol: Column, idBCol: Column,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(idACol.as("a"), idBCol.as("b"))
+    // checkpoint the edge list BEFORE symmetrizing: the unionAll's two
+    // branches would otherwise each re-execute the (possibly expensive)
+    // upstream pair-candidate DAG inside the sym checkpoint job
+    val edges = pairs.select(idACol.as("a"), idBCol.as("b")).localCheckpoint()
+    // partition + sort the symmetric edge table ONCE on the per-round join
+    // key: localCheckpoint preserves outputPartitioning/outputOrdering in
+    // the LogicalRDD, so every round's sort-merge join streams the edge
+    // side with no exchange and no re-sort — only the tiny label table
+    // moves per round (at any scale the edge table is the big side)
     val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
+      .sortWithinPartitions(col("b"))
       .localCheckpoint()
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))

@@ -53,6 +53,14 @@ object MinHashLSH {
   def signature(textCol: Column, k: Int, numPerms: Int): Column =
     graft.functions.Hashing.minhashSignature(textCol, k, numPerms)
 
+  /** Band-bucket hash of band `b` of a signature column (shared by the
+    * bucket expansion and the first-match-band pair dedup predicate — the
+    * two MUST stay the same expression or the dedup would diverge from
+    * the join on hash collisions). */
+  private def bandBucket(sig: Column, b: Int, rowsPerBand: Int): Column =
+    xxhash64(concat_ws(",",
+      slice(sig, b * rowsPerBand + 1, rowsPerBand).cast("array<string>")))
+
   /** Documents → (id, band, bandHash) rows. */
   def bandedBuckets(df: DataFrame, idCol: Column, textCol: Column,
       k: Int = 5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
@@ -61,9 +69,7 @@ object MinHashLSH {
     val sig = signature(textCol, k, numPerms)
     val withSig = df.select(idCol.as("id"), sig.as("sig"))
     val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).cast("array<string>"))).as("bucket"))
+      struct(lit(b).as("band"), bandBucket(col("sig"), b, rowsPerBand).as("bucket"))
     }
     withSig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -105,13 +111,30 @@ object MinHashLSH {
     val capped = observed.filter(col("__bsize") <= maxBucketSize)
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // first-match-band pair dedup, shuffle-free: a pair colliding in
+    // several bands is emitted ONLY from the lowest colliding band — for
+    // band k the predicate recomputes the band-bucket hashes of bands
+    // e < k from the two signatures riding the join row and requires them
+    // to differ (bucket-HASH inequality, the exact negation of the join
+    // condition, so the emitted row set is identical to what the former
+    // groupBy(id_a, id_b).max(est_jaccard) produced — est_jaccard is
+    // computed from the full signatures and is band-invariant). Removes
+    // the exchange over the full candidate pair stream, which at scale is
+    // the largest intermediate of the whole operator.
+    val rowsPerBand = numPerms / bands
+    val firstMatch = (1 until bands).foldLeft(when(col("band") === 0, lit(true))) {
+      (acc, bd) =>
+        acc.when(col("band") === bd,
+          (0 until bd).map(e =>
+            bandBucket(col("sig_a"), e, rowsPerBand) =!=
+              bandBucket(col("sig_b"), e, rowsPerBand)).reduce(_ && _))
+    }
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .filter(firstMatch)
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), e => e))
           .cast("double") / lit(numPerms)).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(max(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJaccard)
   }
 
@@ -155,28 +178,38 @@ object MinHashLSH {
       minJaccard = math.max(0.0, minJaccard - slack),
       maxBucketSize = maxBucketSize, dropObs = dropObs)
       .select(col("id_a"), col("id_b"))
-    val texts = df.select(idCol.as("__tid"), textCol.as("__ttext"))
+    // fetch PRECOMPUTED shingle-hash sets, not texts: exactJaccard over a
+    // raw text column re-evaluates the tokenization inside the per-window
+    // lambda (O(words²) per pair row — the shingleHashes docstring
+    // hazard); shingling each doc once in its own projection and joining
+    // the 8-byte-hash arrays makes the verify O(words) per pair row with
+    // the identical Jaccard value (same shingle sets, same division).
+    val shingles = df
+      .select(idCol.as("__tid"), tokens(textCol).as("__toks"))
+      .select(col("__tid"), shingleHashesOfTokens(col("__toks"), k).as("__tsh"))
     val fetched =
       if (textJoinSalt <= 0)
         cand
-          .join(texts.select(col("__tid").as("id_a"), col("__ttext").as("__text_a")), Seq("id_a"))
-          .join(texts.select(col("__tid").as("id_b"), col("__ttext").as("__text_b")), Seq("id_b"))
+          .join(shingles.select(col("__tid").as("id_a"), col("__tsh").as("__sh_a")), Seq("id_a"))
+          .join(shingles.select(col("__tid").as("id_b"), col("__tsh").as("__sh_b")), Seq("id_b"))
       else {
         val s = lit(textJoinSalt)
         val reps = explode(sequence(lit(0), s - 1)).as("__salt")
-        val textsA = texts.select(col("__tid").as("id_a"),
-          col("__ttext").as("__text_a"), reps)
-        val textsB = texts.select(col("__tid").as("id_b"),
-          col("__ttext").as("__text_b"), reps)
+        val shA = shingles.select(col("__tid").as("id_a"),
+          col("__tsh").as("__sh_a"), reps)
+        val shB = shingles.select(col("__tid").as("id_b"),
+          col("__tsh").as("__sh_b"), reps)
         cand
           .withColumn("__salt", pmod(xxhash64(col("id_b")), s).cast("int"))
-          .join(textsA, Seq("id_a", "__salt"))
+          .join(shA, Seq("id_a", "__salt"))
           .withColumn("__salt", pmod(xxhash64(col("id_a")), s).cast("int"))
-          .join(textsB, Seq("id_b", "__salt"))
+          .join(shB, Seq("id_b", "__salt"))
       }
     fetched
       .select(col("id_a"), col("id_b"),
-        exactJaccard(col("__text_a"), col("__text_b"), k).as("jaccard"))
+        (size(array_intersect(col("__sh_a"), col("__sh_b"))).cast("double") /
+          greatest(size(array_union(col("__sh_a"), col("__sh_b"))), lit(1)).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 

@@ -16,4 +16,13 @@ object TmpFs {
       java.nio.file.Files.createDirectories(shm.resolve(sub)).toString
     else sys.props("java.io.tmpdir")
   }
+
+  /** Unique scratch directory under the same fast-local-storage policy as
+    * [[sparkLocalDir]] — for harness-local fixture round-trips (WARC/token
+    * shard temp dirs) and streaming state checkpoints, which otherwise
+    * land on the throttled sandbox disk via `java.io.tmpdir` and serialize
+    * on ~42 ms write latency per file. Same GRAFT_NO_TMPFS escape hatch. */
+  def scratchDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(sparkLocalDir("graft-scratch")), prefix).toString
 }

@@ -153,11 +153,20 @@ object Ann {
     val capped = observed.filter(col("__bsize") <= maxBucketSize)
     val a = capped.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = capped.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("table", "bucket"))
+    val verified = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         nanvl(cosine(col("va"), col("vb")), lit(-1.0)).as("cosine"))
       .filter(col("cosine") >= minCosine)
+    // cross-table pair dedup: a vector has exactly ONE bucket per table,
+    // so with a single hash table every pair is generated at most once
+    // and the dedup aggregation (an exchange over the whole verified pair
+    // stream) is provably a no-op — skip it. Multiple tables (the recall
+    // amplification path) can propose the same pair once per table and
+    // keep the groupBy; the cosine is table-invariant, so max == the
+    // single value either way.
+    if (seeds.size <= 1) verified
+    else verified
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cosine")).as("cosine"))
   }
