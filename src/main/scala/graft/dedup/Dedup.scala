@@ -138,12 +138,12 @@ object Dedup {
       .filter(trim($"para") =!= "")
 
     val step = math.max(1, stride)
-    // materialize tokens before the per-gram lambda (avoids re-splitting
-    // the paragraph once per gram), then explode the gram hashes
+    // one-pass custom expression: tokenize + window + hash per paragraph
+    // in a tight loop (the declarative ngramHashesFromTokens chain built
+    // every gram as a string before hashing it)
     val grams = paras
-      .withColumn("__toks", filter(split($"para", "\\s+"), t => t =!= ""))
       .select($"id", $"__ord", $"para_index",
-        explode(ngramHashesFromTokens($"__toks", n, step)).as("gram"))
+        explode(graft.functions.Hashing.ngramHashes($"para", n, step)).as("gram"))
 
     val w = Window.partitionBy($"gram").orderBy($"__ord", $"para_index")
     val marked = grams.withColumn("dup", row_number().over(w) > 1)

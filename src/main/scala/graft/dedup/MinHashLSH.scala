@@ -184,9 +184,8 @@ object MinHashLSH {
     // hazard); shingling each doc once in its own projection and joining
     // the 8-byte-hash arrays makes the verify O(words) per pair row with
     // the identical Jaccard value (same shingle sets, same division).
-    val shingles = df
-      .select(idCol.as("__tid"), tokens(textCol).as("__toks"))
-      .select(col("__tid"), shingleHashesOfTokens(col("__toks"), k).as("__tsh"))
+    val shingles = df.select(idCol.as("__tid"),
+      graft.functions.Hashing.sortedShingleHashes(textCol, k).as("__tsh"))
     val fetched =
       if (textJoinSalt <= 0)
         cand
@@ -246,12 +245,11 @@ object MinHashLSH {
       maxShingleDf: Option[Long] = None,
       prefixFilter: Boolean = false,
       dropObs: Option[Observation] = None): DataFrame = {
-    // tokens staged through their own projection so the window lambda
-    // binds an attribute (one tokenization per row, not per window);
-    // CollapseProject keeps the stages apart because the reference is
-    // non-cheap and multiply-used
-    val sized = df.select(idCol.as("id"), tokens(textCol).as("__toks"))
-      .select(col("id"), array_sort(shingleHashesOfTokens(col("__toks"), k)).as("sh"))
+    // one-pass custom expression: tokenize + shingle + hash + sort +
+    // dedup per row in a tight loop (the former three-stage declarative
+    // projection built every shingle string before hashing it)
+    val sized = df.select(idCol.as("id"),
+        graft.functions.Hashing.sortedShingleHashes(textCol, k).as("sh"))
       .select(col("id"), col("sh"), size(col("sh")).as("n"))
     if (prefixFilter) prefixFilteredPairs(sized, minJaccard, maxShingleDf, dropObs)
     else {

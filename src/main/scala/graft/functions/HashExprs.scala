@@ -78,6 +78,126 @@ object Hashing {
 
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long): Column =
     Bridge.toColumn(HyperplaneBucketExpr(Bridge.toExpr(vec), dim, bits, seed))
+
+  def sortedShingleHashes(text: Column, shingleK: Int): Column =
+    Bridge.toColumn(SortedShingleHashesExpr(Bridge.toExpr(text), shingleK))
+
+  def ngramHashes(text: Column, n: Int, stride: Int): Column =
+    Bridge.toColumn(NgramHashesExpr(Bridge.toExpr(text), n, stride))
+}
+
+/** Ordered n-gram hash stream of the whitespace token list (NOT
+  * lowercased — mirrors `split(textCol, "\\s+")` with empties dropped):
+  * one hash per n-token window at `stride`, a single whole-list hash when
+  * the text has < n tokens — the one-pass form of
+  * `Dedup.ngramHashesFromTokens(filter(split(text, "\\s+"), ...), n, stride)`.
+  * Hash values are internal keys of the first-occurrence window; any
+  * injective-w.h.p. hash preserves the marking (collision class 2^-64,
+  * unchanged). */
+case class NgramHashesExpr(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && stride >= 1, "n and stride must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val offs = Hashing.tokenOffsets(s)
+    val nTok = offs.length / 2
+
+    @inline def gramHash(from: Int, untilTok: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var t = from
+      while (t < untilTok) {
+        var i = offs(2 * t)
+        val end = offs(2 * t + 1)
+        while (i < end) {
+          h ^= s.charAt(i).toLong & 0xffffL
+          h *= 0x100000001b3L
+          i += 1
+        }
+        h ^= 0x20L
+        h *= 0x100000001b3L
+        t += 1
+      }
+      Hashing.mix64(h)
+    }
+
+    if (nTok < n) return new GenericArrayData(Array(gramHash(0, nTok)))
+    val count = (nTok - n) / stride + 1
+    val hs = new Array[Long](count)
+    var i = 0
+    var start = 0
+    while (i < count) {
+      hs(i) = gramHash(start, start + n)
+      start += stride
+      i += 1
+    }
+    new GenericArrayData(hs)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sorted distinct k-word-shingle hash set of the lowercase token list —
+  * the one-pass form of
+  * `array_sort(array_distinct(transform(windows, xxhash64(concat_ws(...)))))`.
+  * The declarative chain builds every shingle as a string (slice +
+  * concat_ws + UTF8String) before hashing and materializes three
+  * intermediate arrays per row; this walks the char offsets once per
+  * shingle with the same FNV+mix scheme as [[MinHashSigExpr]]. Hash
+  * VALUES differ from the xxhash64-of-string formulation, but every
+  * consumer (exact Jaccard, prefix filtering, posting joins) observes
+  * only set relations — intersection/union sizes and a consistent global
+  * order — which any injective-w.h.p. shingle hash preserves (collision
+  * odds 2^-64, the same class as before). Tokenization is identical to
+  * `split(lower(text), "\\s+")` (see [[Hashing.tokenOffsets]]); < k
+  * tokens (including zero) hash the whole token list as one shingle,
+  * mirroring the declarative `when(size < k, ...)` branch. */
+case class SortedShingleHashesExpr(child: Expression, shingleK: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val offs = Hashing.tokenOffsets(s)
+    val nTok = offs.length / 2
+
+    @inline def shingleHash(from: Int, untilTok: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var t = from
+      while (t < untilTok) {
+        var i = offs(2 * t)
+        val end = offs(2 * t + 1)
+        while (i < end) {
+          h ^= s.charAt(i).toLong & 0xffffL
+          h *= 0x100000001b3L
+          i += 1
+        }
+        h ^= 0x20L
+        h *= 0x100000001b3L
+        t += 1
+      }
+      Hashing.mix64(h)
+    }
+
+    if (nTok < shingleK)
+      return new GenericArrayData(Array(shingleHash(0, nTok)))
+    val n = nTok - shingleK + 1
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = shingleHash(i, i + shingleK); i += 1 }
+    java.util.Arrays.sort(hs)
+    // dedup in place over the sorted array
+    var w = 0
+    var r = 0
+    while (r < n) {
+      if (r == 0 || hs(r) != hs(r - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == n) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** MinHash signature (Broder 1997) of the k-word-shingle set: base 64-bit
