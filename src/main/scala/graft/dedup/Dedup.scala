@@ -205,6 +205,10 @@ object Dedup {
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint()
+    // empty pair table: no nodes, nothing to propagate (and the per-round
+    // Observation below would never fire over an empty checkpoint plan)
+    if (labels.isEmpty)
+      return labels.select(col("id"), col("label").as("cluster"))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -225,14 +229,21 @@ object Dedup {
       // inner self-join therefore preserves all rows, and since labels
       // only decrease monotonically, least() equals label(label) — kept
       // for robustness.
+      // the convergence metric rides the checkpoint materialization as an
+      // Observation — the former filter+limit+count was one extra job and
+      // one extra full pass over the label table per round. The loop is
+      // only entered with a non-empty label table, so the observed plan
+      // always produces rows and the metric always fires.
+      val obs = org.apache.spark.sql.Observation()
       val updated = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("__ll")),
           Seq("label"))
         .select(col("id"), col("__old"),
           least(col("label"), col("__ll")).as("label"))
+        .observe(obs, sum(when(col("label") =!= col("__old"), 1L)
+          .otherwise(0L)).as("changed"))
         .localCheckpoint()
-      val changed = updated.filter(col("label") =!= col("__old"))
-        .limit(1).count() > 0
+      val changed = obs.get("changed").asInstanceOf[Long] > 0L
       labels = updated.select(col("id"), col("label"))
       converged = !changed
       it += 1

@@ -103,27 +103,50 @@ object Analyzer {
       xxhash64(col("ngram")).as("h1"), hash(col("ngram")).as("h2"))
     val counts = keyed.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // k-th highest count (TakeOrderedAndProject: per-partition heaps)
-      val kthRow = counts.orderBy(col("cnt").desc).limit(k)
-        .agg(min(col("cnt"))).collect()(0)
-      if (kthRow.isNullAt(0))
+      // one bounded TakeOrderedAndProject collect (per-partition heaps)
+      // replaces the former three driver jobs on the counts table (k-th
+      // aggregate, tie-guard count, broadcast build): collect the top
+      // k + slack hash pairs; unless ties overflow the slack, that set
+      // provably contains EVERY pair with cnt >= kth and the candidate
+      // list is already on the driver (O(k) rows — same driver grain as
+      // the kth scalar before). With the candidate list local, the
+      // resolve-pass plan no longer references the counts table at all,
+      // so the former persist (whose cache was already dropped by the
+      // time the returned plan executed — the broadcast build silently
+      // re-ran the whole counting pass per action) has nothing left to
+      // amortize and is gone.
+      val tieSlack = 1000
+      val top = counts.orderBy(col("cnt").desc).limit(k + tieSlack).collect()
+      if (top.isEmpty)
         return grams.groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
-      val kth = kthRow.getLong(0)
-      // candidates = all hash pairs tied with or above the boundary. They
-      // stay DISTRIBUTED — broadcast-semi-joined against the gram stream,
-      // never collected; the only values the driver ever sees are the kth
-      // scalar and this guard count. A corpus where >50k·k grams tie at
-      // the k-th count has no meaningful top-k and is rejected rather
-      // than silently truncated (and would otherwise overrun the
-      // broadcast).
-      val candDf = counts.filter(col("cnt") >= kth)
-        .select(col("h1"), col("h2"))
-      val maxCand = math.max(50000L * k, 100000L)
-      val nCand = candDf.count()
-      require(nCand < maxCand,
-        s"top-$k n-grams: $nCand grams tie at the k-th count boundary (max $maxCand)")
+      val kth = top.take(k).map(_.getLong(2)).min
+      // complete iff the collected prefix cannot have cut a cnt >= kth
+      // row: either the whole counts table fit, or the boundary row is
+      // already strictly below kth
+      val complete = top.length < k + tieSlack || top.last.getLong(2) < kth
+      val candDf =
+        if (complete) {
+          val spark = df.sparkSession
+          // h1 is xxhash64 (long), h2 is murmur3 `hash` (int)
+          val rows = top.filter(_.getLong(2) >= kth)
+            .map(r => (r.getLong(0), r.getInt(1)))
+          import spark.implicits._
+          rows.toSeq.toDF("h1", "h2")
+        } else {
+          // tie flood past the slack: fall back to the distributed
+          // candidate set with the loud degenerate-corpus guard. They
+          // stay DISTRIBUTED — broadcast-semi-joined against the gram
+          // stream, never collected. A corpus where >50k·k grams tie at
+          // the k-th count has no meaningful top-k and is rejected rather
+          // than silently truncated (and would otherwise overrun the
+          // broadcast).
+          val cd = counts.filter(col("cnt") >= kth).select(col("h1"), col("h2"))
+          val maxCand = math.max(50000L * k, 100000L)
+          val nCand = cd.count()
+          require(nCand < maxCand,
+            s"top-$k n-grams: $nCand grams tie at the k-th count boundary (max $maxCand)")
+          cd
+        }
       // resolve pass: only candidate grams survive the broadcast semi-join
       // into the string groupBy
       grams
@@ -135,6 +158,5 @@ object Analyzer {
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("ngram"))
         .limit(k)
-    } finally counts.unpersist(blocking = false)
   }
 }
