@@ -63,16 +63,27 @@ object MinHashLSH {
 
   /** Documents → (id, band, bandHash) rows. */
   def bandedBuckets(df: DataFrame, idCol: Column, textCol: Column,
-      k: Int = 5, numPerms: Int = 32, bands: Int = 8): DataFrame = {
+      k: Int = 5, numPerms: Int = 32, bands: Int = 8): DataFrame =
+    bandedBucketsWithArray(df, idCol, textCol, k, numPerms, bands)
+      .select(col("id"), col("sig"), col("band"), col("bucket"))
+
+  /** Like [[bandedBuckets]] but each exploded row also carries the doc's
+    * FULL band-bucket array `__ab` (computed once per document, 8 bytes ×
+    * bands): the first-match pair-dedup predicate reads earlier bands from
+    * the two arrays instead of re-hashing signature slices per pair row —
+    * same bucket values, O(1) expression nodes per band instead of a
+    * bands²-node when-chain. */
+  private def bandedBucketsWithArray(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, numPerms: Int, bands: Int): DataFrame = {
     val rowsPerBand = numPerms / bands
     require(bands * rowsPerBand == numPerms, "bands must divide numPerms")
     val sig = signature(textCol, k, numPerms)
     val withSig = df.select(idCol.as("id"), sig.as("sig"))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), bandBucket(col("sig"), b, rowsPerBand).as("bucket"))
-    }
-    withSig.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val allBuckets = array((0 until bands).map(b =>
+      bandBucket(col("sig"), b, rowsPerBand)): _*)
+    withSig.select(col("id"), col("sig"), allBuckets.as("__ab"))
+      .select(col("id"), col("sig"), col("__ab"),
+        posexplode(col("__ab")).as(Seq("band", "bucket")))
   }
 
   /** Candidate near-duplicate pairs with estimated Jaccard from signature
@@ -92,7 +103,7 @@ object MinHashLSH {
       k: Int = 5, numPerms: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5, maxBucketSize: Int = 1000,
       dropObs: Option[Observation] = None): DataFrame = {
-    val buckets = bandedBuckets(df, idCol, textCol, k, numPerms, bands)
+    val buckets = bandedBucketsWithArray(df, idCol, textCol, k, numPerms, bands)
     val sizes = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsize"))
     val marked = buckets.join(sizes, Seq("band", "bucket"))
@@ -109,27 +120,29 @@ object MinHashLSH {
           .cast("long").as("dropped_buckets")))
       .getOrElse(marked)
     val capped = observed.filter(col("__bsize") <= maxBucketSize)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"),
+      col("sig").as("sig_a"), col("__ab").as("__ab_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"),
+      col("sig").as("sig_b"), col("__ab").as("__ab_b"))
     // first-match-band pair dedup, shuffle-free: a pair colliding in
-    // several bands is emitted ONLY from the lowest colliding band — for
-    // band k the predicate recomputes the band-bucket hashes of bands
-    // e < k from the two signatures riding the join row and requires them
-    // to differ (bucket-HASH inequality, the exact negation of the join
+    // several bands is emitted ONLY from the lowest colliding band — the
+    // predicate compares the PRECOMPUTED band-bucket arrays of the two
+    // docs over bands < `band` and requires every earlier bucket pair to
+    // differ (bucket-hash inequality, the exact negation of the join
     // condition, so the emitted row set is identical to what the former
     // groupBy(id_a, id_b).max(est_jaccard) produced — est_jaccard is
     // computed from the full signatures and is band-invariant). Removes
     // the exchange over the full candidate pair stream, which at scale is
     // the largest intermediate of the whole operator.
-    val rowsPerBand = numPerms / bands
-    val firstMatch = (1 until bands).foldLeft(when(col("band") === 0, lit(true))) {
-      (acc, bd) =>
-        acc.when(col("band") === bd,
-          (0 until bd).map(e =>
-            bandBucket(col("sig_a"), e, rowsPerBand) =!=
-              bandBucket(col("sig_b"), e, rowsPerBand)).reduce(_ && _))
-    }
-    a.join(b, Seq("band", "bucket"))
+    val firstMatch = size(filter(
+      zip_with(slice(col("__ab_a"), lit(1), col("band")),
+        slice(col("__ab_b"), lit(1), col("band")), (x, y) => x === y),
+      e => e)) === 0
+    // merge hint, same rationale as exactJaccardPairs: the static
+    // optimizer underestimates the exploded bucket table and broadcasts
+    // it — a driver-built hash relation of one bucket row per (doc, band),
+    // wrong at any scale; the self-join must shuffle on the bucket key
+    a.hint("merge").join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .filter(firstMatch)
       .select(col("id_a"), col("id_b"),

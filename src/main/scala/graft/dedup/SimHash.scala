@@ -90,7 +90,9 @@ object SimHash {
           (0 until blk).map(e =>
             blockKey(col("sig_a"), e) =!= blockKey(col("sig_b"), e)).reduce(_ && _))
     }
-    a.join(b, Seq("block", "key"))
+    // merge hint (MinHashLSH rationale): the exploded sig table is
+    // corpus-sized — it must never become a driver-built broadcast
+    a.hint("merge").join(b, Seq("block", "key"))
       .filter(col("id_a") < col("id_b"))
       .filter(firstMatch)
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("distance"))

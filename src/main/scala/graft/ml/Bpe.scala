@@ -35,6 +35,16 @@ final class Bpe(
 
   def vocabSize: Int = vocabBytes.length
 
+  // primitive-keyed view of `merges` for the encode hot loop: the tuple
+  // map allocates a boxed (Int, Int) per lookup and the merge loop does
+  // one lookup per adjacent pair per iteration. Rebuilt lazily after
+  // deserialization (transient), so broadcasts ship only `merges`.
+  @transient private lazy val mergesLong: java.util.HashMap[Long, Integer] = {
+    val m = new java.util.HashMap[Long, Integer](merges.size * 2)
+    merges.foreach { case ((a, b), id) => m.put((a.toLong << 32) | b.toLong, id) }
+    m
+  }
+
   /** Encode one pre-token piece (bytes) by the lowest-merged-id-first
     * merge loop. */
   private def encodePiece(bytes: Array[Byte]): Array[Int] = {
@@ -42,6 +52,7 @@ final class Bpe(
     var ids = new Array[Int](bytes.length)
     var i = 0
     while (i < bytes.length) { ids(i) = bytes(i) & 0xff; i += 1 }
+    val ml = mergesLong
     var done = false
     while (!done && ids.length >= 2) {
       // find the adjacent pair whose merged id is smallest (= earliest
@@ -50,10 +61,8 @@ final class Bpe(
       var bestAt = -1
       var j = 0
       while (j < ids.length - 1) {
-        merges.get((ids(j), ids(j + 1))) match {
-          case Some(m) if best < 0 || m < best => best = m; bestAt = j
-          case _ =>
-        }
+        val m = ml.get((ids(j).toLong << 32) | ids(j + 1).toLong)
+        if (m != null && (best < 0 || m < best)) { best = m; bestAt = j }
         j += 1
       }
       if (best < 0) done = true

@@ -153,7 +153,9 @@ object Ann {
     val capped = observed.filter(col("__bsize") <= maxBucketSize)
     val a = capped.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = capped.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    val verified = a.join(b, Seq("table", "bucket"))
+    // merge hint (MinHashLSH rationale): the bucketed vector table is
+    // corpus-sized — it must never become a driver-built broadcast
+    val verified = a.hint("merge").join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         nanvl(cosine(col("va"), col("vb")), lit(-1.0)).as("cosine"))

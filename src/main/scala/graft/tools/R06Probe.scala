@@ -104,6 +104,25 @@ object R06Probe {
       graft.dedup.MinHashLSH.exactJaccardPairs(docs,
         col("doc_id").cast("string"), col("text"), k = 4, minJaccard = 0.6,
         prefixFilter = true))
+
+    // minhash decomposition
+    import graft.dedup.MinHashLSH
+    time("minhash: signatures only", reps)(
+      docs.select(col("doc_id").cast("string").as("id"),
+        MinHashLSH.signature(col("text"), 5, 32).as("sig")))
+    time("minhash: banded buckets", reps)(
+      MinHashLSH.bandedBuckets(docs, col("doc_id").cast("string"), col("text"),
+        k = 5, numPerms = 32, bands = 16))
+    time("minhash: candidates", reps)(
+      MinHashLSH.nearDuplicatePairs(docs, col("doc_id").cast("string"), col("text"),
+        k = 5, numPerms = 32, bands = 16, minJaccard = math.max(0.0, 0.5 - 3.0 * math.sqrt(0.25 / 32))))
+    val nc = MinHashLSH.nearDuplicatePairs(docs, col("doc_id").cast("string"), col("text"),
+      k = 5, numPerms = 32, bands = 16, minJaccard = math.max(0.0, 0.5 - 3.0 * math.sqrt(0.25 / 32))).count()
+    println(s"[r06] minhash candidate pairs: $nc")
+    time("dedup_minhash_pairs full", reps)(
+      MinHashLSH.verifiedNearDuplicatePairs(docs,
+        col("doc_id").cast("string"), col("text"), k = 5, numPerms = 32,
+        bands = 16, minJaccard = 0.5))
     spark.stop()
   }
 }
