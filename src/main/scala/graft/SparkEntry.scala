@@ -129,8 +129,12 @@ object SparkEntry {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
         .filter(col("c_mktsegment") === "BUILDING")
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // join order matters (guide §3.1): reduce orders by the selective
+      // broadcast customer filter FIRST, so the big lineitem side joins a
+      // side small enough for AQE to broadcast at runtime — lineitem is
+      // then never shuffled (inner joins associate; same rows either way)
+      val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      li.join(oc, li("l_orderkey") === o("o_orderkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))
@@ -138,12 +142,17 @@ object SparkEntry {
     }),
 
     "q3_window_first_order" -> ((s, dir) => {
+      // "first row per key" as a map-side-combinable aggregate (guide
+      // §2.3 "aggregate before you shuffle"): min over the lexicographic
+      // (o_orderdate, o_orderkey) struct IS the row_number()=1 row of the
+      // ORDER BY (o_orderdate, o_orderkey) window — but the shuffle now
+      // carries one partially-aggregated struct per (task × custkey)
+      // instead of every order row, and the per-partition sort the window
+      // needed disappears entirely.
       val o = s.read.parquet(s"$dir/orders.parquet")
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      o.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
+      o.groupBy(col("o_custkey"))
+        .agg(min(struct(col("o_orderdate"), col("o_orderkey"))).as("__first"))
+        .select(col("o_custkey"), col("__first.o_orderkey").as("first_orderkey"))
     }),
 
     "q4_broadcast_star" -> ((s, dir) => {
