@@ -129,12 +129,15 @@ object SparkEntry {
       val o = s.read.parquet(s"$dir/orders.parquet")
       val c = s.read.parquet(s"$dir/customer.parquet")
         .filter(col("c_mktsegment") === "BUILDING")
-      // join order matters (guide §3.1): reduce orders by the selective
-      // broadcast customer filter FIRST, so the big lineitem side joins a
-      // side small enough for AQE to broadcast at runtime — lineitem is
-      // then never shuffled (inner joins associate; same rows either way)
-      val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      li.join(oc, li("l_orderkey") === o("o_orderkey"))
+      // examined r6, left as-is: pre-joining orders with the broadcast
+      // customer filter and broadcasting the result removes the lineitem
+      // shuffle HERE, but the filtered build side is corpus-proportional
+      // (only broadcastable below the 8 GB bound) and the extra
+      // broadcast-build job measurably regressed the bench (0.41→0.67 s);
+      // at 100 TB the production lever is the runtime Bloom filter
+      // (SPARK-32268) pre-filtering lineitem before its exchange.
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100).cast("long"))

@@ -215,11 +215,17 @@ object Dedup {
       // min label among neighbors, folded into each node's own label.
       // The previous label rides along as __old so the convergence check
       // is a filter over the checkpointed round output — no extra join,
-      // no second pass over the edge table per round.
-      val neighborMin = sym
-        .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("label")).as("__nl"))
-        .select(col("a").as("id"), col("__nl"))
+      // no second pass over the edge table per round. Round 1 is the
+      // exact specialization label(x) = x: the neighbor minimum is a
+      // plain map-side-combined groupBy over the edge table — no label
+      // join at all (the join would stream every edge against an
+      // identity table to look up what it already holds).
+      val neighborMin = (
+        if (it == 0) sym.groupBy(col("a")).agg(min(col("b")).as("__nl"))
+        else sym
+          .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("label")).as("__nl"))
+        ).select(col("a").as("id"), col("__nl"))
       val propagated = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label").as("__old"),
