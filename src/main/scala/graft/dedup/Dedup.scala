@@ -202,34 +202,39 @@ object Dedup {
       .repartition(col("b"))
       .sortWithinPartitions(col("b"))
       .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint()
     // empty pair table: no nodes, nothing to propagate (and the per-round
     // Observation below would never fire over an empty checkpoint plan)
-    if (labels.isEmpty)
-      return labels.select(col("id"), col("label").as("cluster"))
+    if (sym.isEmpty)
+      return sym.select(col("a").as("id"), col("a").as("cluster"))
+    // labels(id, label) — materialized lazily from round 1's output.
+    // Round 0 is the exact specialization label(x) = x: the node set is
+    // exactly sym's key set (every symmetric edge endpoint appears as
+    // `a`), so the neighbor minimum is a plain map-side-combined groupBy
+    // over the edge table with no identity-label join and no separate
+    // distinct-nodes pass.
+    var labels: DataFrame = null
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       // min label among neighbors, folded into each node's own label.
       // The previous label rides along as __old so the convergence check
       // is a filter over the checkpointed round output — no extra join,
-      // no second pass over the edge table per round. Round 1 is the
-      // exact specialization label(x) = x: the neighbor minimum is a
-      // plain map-side-combined groupBy over the edge table — no label
-      // join at all (the join would stream every edge against an
-      // identity table to look up what it already holds).
-      val neighborMin = (
-        if (it == 0) sym.groupBy(col("a")).agg(min(col("b")).as("__nl"))
-        else sym
-          .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
-          .groupBy(col("a")).agg(min(col("label")).as("__nl"))
-        ).select(col("a").as("id"), col("__nl"))
-      val propagated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+      // no second pass over the edge table per round.
+      val propagated =
+        if (it == 0)
+          sym.groupBy(col("a")).agg(min(col("b")).as("__nl"))
+            .select(col("a").as("id"), col("a").as("__old"),
+              least(col("a"), col("__nl")).as("label"))
+        else {
+          val neighborMin = sym
+            .join(labels.select(col("id").as("b"), col("label")), Seq("b"))
+            .groupBy(col("a")).agg(min(col("label")).as("__nl"))
+            .select(col("a").as("id"), col("__nl"))
+          labels
+            .join(neighborMin, Seq("id"), "left")
+            .select(col("id"), col("label").as("__old"),
+              least(col("label"), coalesce(col("__nl"), col("label"))).as("label"))
+        }
       // pointer doubling: every label value is itself a node id (labels
       // are mins over node ids), so label(label) is always defined; the
       // inner self-join therefore preserves all rows, and since labels

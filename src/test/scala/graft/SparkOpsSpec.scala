@@ -298,6 +298,11 @@ class SparkOpsSpec extends AnyFunSuite {
     val want = (0L to 5L).map(_ -> 0L).toMap ++
       Seq(10L, 11L, 12L).map(_ -> 10L).toMap ++ Map(20L -> 20L, 21L -> 20L)
     assert(got == want)
+    // empty pair table short-circuits to an empty cluster table with the
+    // input id type (the r6 lazily-initialized-labels path)
+    val none = Dedup.duplicateClusters(
+      pairs.filter(col("id_a") < 0), col("id_a"), col("id_b"))
+    assert(none.columns.toSeq == Seq("id", "cluster") && none.count() == 0)
   }
 
   test("prefix-filtered exactJaccardPairs equals the unfiltered exact path") {
