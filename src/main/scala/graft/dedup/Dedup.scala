@@ -189,16 +189,19 @@ object Dedup {
     */
   def duplicateClusters(pairs: DataFrame, idACol: Column, idBCol: Column,
       maxIters: Int = 20): DataFrame = {
-    // checkpoint the edge list BEFORE symmetrizing: the unionAll's two
-    // branches would otherwise each re-execute the (possibly expensive)
-    // upstream pair-candidate DAG inside the sym checkpoint job
-    val edges = pairs.select(idACol.as("a"), idBCol.as("b")).localCheckpoint()
-    // partition + sort the symmetric edge table ONCE on the per-round join
-    // key: localCheckpoint preserves outputPartitioning/outputOrdering in
-    // the LogicalRDD, so every round's sort-merge join streams the edge
-    // side with no exchange and no re-sort — only the tiny label table
-    // moves per round (at any scale the edge table is the big side)
-    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize in ONE pass over the pair table — explode of the two
+    // orientations, not a unionAll whose branches would each re-execute
+    // the (possibly expensive) upstream pair-candidate DAG — then
+    // partition + sort once on the per-round join key: localCheckpoint
+    // preserves outputPartitioning/outputOrdering in the LogicalRDD, so
+    // every round's sort-merge join streams the edge side with no
+    // exchange and no re-sort — only the tiny label table moves per
+    // round (at any scale the edge table is the big side)
+    val sym = pairs
+      .select(explode(array(
+        struct(idACol.as("a"), idBCol.as("b")),
+        struct(idBCol.as("a"), idACol.as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .repartition(col("b"))
       .sortWithinPartitions(col("b"))
       .localCheckpoint()
