@@ -67,30 +67,20 @@ object Analyzer {
     def outputEncoder: Encoder[Map[Long, Long]] = Encoders.kryo[Map[Long, Long]]
   }
 
-  /** Exploded n-gram column `ngram` over `textCol` (lowercased,
-    * whitespace-tokenized). The token array is materialized BEFORE the
-    * per-gram lambda: a lambda body referencing an unbound tokenization
-    * would re-split the text once per gram (O(words^2) per row). */
-  private def explodedNgrams(df: DataFrame, textCol: Column, n: Int): DataFrame = {
-    val withToks = df.select(
-      filter(split(lower(textCol), "\\s+"), t => t =!= "").as("__toks"))
-    val toks = col("__toks")
-    val starts = sequence(lit(0), greatest(size(toks) - n, lit(0)), lit(1))
-    val ngrams = when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(n)))))
-    withToks.select(explode(ngrams).as("ngram"))
-  }
-
   /** Top-k n-grams (wimbd counter, /root/reference/src/wimbd/ngrams/).
     *
-    * Scale shape: counting shuffles only a 128-bit gram hash
-    * (xxhash64 + murmur3 — 16 bytes/distinct gram after map-side
-    * combine), never the gram strings (corpus-sized at 100 TB for a
-    * top-20 answer). The winning hashes — everything tied with or above
-    * the k-th count, a set of O(k) in non-degenerate corpora — are
-    * resolved back to strings by a second filtered pass whose string
-    * groupBy only ever sees candidate grams; ties then break exactly on
-    * the string, matching the oracle's ORDER BY cnt DESC, ngram.
+    * Scale shape: counting shuffles only a 96-bit gram hash pair
+    * (12 bytes/distinct gram after map-side combine), never the gram
+    * strings (corpus-sized at 100 TB for a top-20 answer) — and the
+    * counting pass never even MATERIALIZES a gram string: a one-pass
+    * expression ([[graft.functions.Gram128HashesExpr]]) hashes each
+    * n-token window's chars directly. The winning hashes — everything
+    * tied with or above the k-th count, a set of O(k) in non-degenerate
+    * corpora — are resolved back to strings by a second filtered pass
+    * ([[graft.functions.GramsWithHashesExpr]], same shared char walk, so
+    * the keys cannot drift) whose string groupBy only ever sees candidate
+    * grams; ties then break exactly on the string, matching the oracle's
+    * ORDER BY cnt DESC, ngram.
     *
     * The hash pair can only merge distinct grams at ~2^-96, and a merge
     * can only inflate a candidate-selection count (the resolve pass
@@ -98,9 +88,12 @@ object Analyzer {
     * 1 - 2^-96 — stronger than the reference wimbd counter, which counts
     * into a lossy fixed-size array (`ngrams/counter.rs`). */
   def topKNgrams(df: DataFrame, textCol: Column, n: Int, k: Int): DataFrame = {
-    val grams = explodedNgrams(df, textCol, n)
-    val keyed = grams.select(
-      xxhash64(col("ngram")).as("h1"), hash(col("ngram")).as("h2"))
+    val keyed = df
+      .select(explode(graft.functions.Hashing.gram128Hashes(textCol, n)).as("g"))
+      .select(col("g.h1").as("h1"), col("g.h2").as("h2"))
+    val grams = df
+      .select(explode(graft.functions.Hashing.gramsWithHashes(textCol, n)).as("g"))
+      .select(col("g.ngram").as("ngram"), col("g.h1").as("h1g"), col("g.h2").as("h2g"))
     val counts = keyed.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("cnt"))
       // one bounded TakeOrderedAndProject collect (per-partition heaps)
@@ -119,6 +112,7 @@ object Analyzer {
       val top = counts.orderBy(col("cnt").desc).limit(k + tieSlack).collect()
       if (top.isEmpty)
         return grams.groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+          .select(col("ngram"), col("cnt"))
       val kth = top.take(k).map(_.getLong(2)).min
       // complete iff the collected prefix cannot have cut a cnt >= kth
       // row: either the whole counts table fit, or the boundary row is
@@ -151,8 +145,7 @@ object Analyzer {
       // into the string groupBy
       grams
         .join(broadcast(candDf),
-          xxhash64(col("ngram")) === col("h1") &&
-            hash(col("ngram")) === col("h2"),
+          col("h1g") === col("h1") && col("h2g") === col("h2"),
           "left_semi")
         .groupBy(col("ngram"))
         .agg(count(lit(1)).as("cnt"))

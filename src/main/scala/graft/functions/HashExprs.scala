@@ -84,6 +84,133 @@ object Hashing {
 
   def ngramHashes(text: Column, n: Int, stride: Int): Column =
     Bridge.toColumn(NgramHashesExpr(Bridge.toExpr(text), n, stride))
+
+  def gram128Hashes(text: Column, n: Int): Column =
+    Bridge.toColumn(Gram128HashesExpr(Bridge.toExpr(text), n))
+
+  def gramsWithHashes(text: Column, n: Int): Column =
+    Bridge.toColumn(GramsWithHashesExpr(Bridge.toExpr(text), n))
+
+  /** Shared 128-bit gram hashing for the top-k n-gram counter: two
+    * independent FNV-style accumulators (distinct odd multipliers — a
+    * same-prime/different-basis pair would collide jointly on same-length
+    * grams) over the chars of the SPACE-JOINED token window, finished
+    * with [[mix64]]. Both the hashes-only counting pass and the
+    * string-materializing resolve pass call this one function, so the
+    * semi-join keys can never drift. */
+  private[functions] object Gram128 {
+    final val P1 = 0x100000001b3L
+    final val P2 = 0x9E3779B97F4A7C15L
+    final val B1 = 0xcbf29ce484222325L
+    final val B2 = 0x2545F4914F6CDD1DL
+  }
+}
+
+/** Hashes-only exploded form of the top-k counter's first pass:
+  * array<struct<h1: long, h2: int>> — one 96-bit hash pair per n-token
+  * window of the lowercase token list, with NO gram string materialized
+  * (the declarative chain built every gram through slice + concat_ws +
+  * UTF8String before hashing it). < n tokens ⇒ empty (the counting pass
+  * emits no grams for short docs, matching the former
+  * `when(size < n, array())` branch). */
+case class Gram128HashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", IntegerType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val offs = Hashing.tokenOffsets(s)
+    val nTok = offs.length / 2
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val count = nTok - n + 1
+    val out = new Array[Any](count)
+    var i = 0
+    while (i < count) {
+      var h1 = Hashing.Gram128.B1
+      var h2 = Hashing.Gram128.B2
+      var t = i
+      while (t < i + n) {
+        if (t > i) {
+          h1 = (h1 ^ 0x20L) * Hashing.Gram128.P1
+          h2 = (h2 ^ 0x20L) * Hashing.Gram128.P2
+        }
+        var c = offs(2 * t)
+        val end = offs(2 * t + 1)
+        while (c < end) {
+          val ch = s.charAt(c).toLong & 0xffffL
+          h1 = (h1 ^ ch) * Hashing.Gram128.P1
+          h2 = (h2 ^ ch) * Hashing.Gram128.P2
+          c += 1
+        }
+        t += 1
+      }
+      out(i) = InternalRow(Hashing.mix64(h1),
+        (Hashing.mix64(h2) >>> 32).toInt)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Resolve-pass form: array<struct<ngram: string, h1: long, h2: int>> —
+  * the gram STRING (space-joined lowercase window, identical to the
+  * former concat_ws(" ", slice(...)) construction) plus the SAME hash
+  * pair as [[Gram128HashesExpr]] (shared char walk), so the broadcast
+  * semi-join against the counting pass's surviving hash pairs matches
+  * exactly. */
+case class GramsWithHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ngram", StringType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", IntegerType, nullable = false))), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val offs = Hashing.tokenOffsets(s)
+    val nTok = offs.length / 2
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val count = nTok - n + 1
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      var h1 = Hashing.Gram128.B1
+      var h2 = Hashing.Gram128.B2
+      sb.setLength(0)
+      var t = i
+      while (t < i + n) {
+        if (t > i) {
+          h1 = (h1 ^ 0x20L) * Hashing.Gram128.P1
+          h2 = (h2 ^ 0x20L) * Hashing.Gram128.P2
+          sb.append(' ')
+        }
+        var c = offs(2 * t)
+        val end = offs(2 * t + 1)
+        while (c < end) {
+          val chr = s.charAt(c)
+          val ch = chr.toLong & 0xffffL
+          h1 = (h1 ^ ch) * Hashing.Gram128.P1
+          h2 = (h2 ^ ch) * Hashing.Gram128.P2
+          sb.append(chr)
+          c += 1
+        }
+        t += 1
+      }
+      out(i) = InternalRow(UTF8String.fromString(sb.toString),
+        Hashing.mix64(h1), (Hashing.mix64(h2) >>> 32).toInt)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Ordered n-gram hash stream of the whitespace token list (NOT
