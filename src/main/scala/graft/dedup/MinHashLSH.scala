@@ -103,7 +103,19 @@ object MinHashLSH {
       k: Int = 5, numPerms: Int = 32, bands: Int = 8,
       minJaccard: Double = 0.5, maxBucketSize: Int = 1000,
       dropObs: Option[Observation] = None): DataFrame = {
+    // materialize the bucketed sketch table ONCE, pre-partitioned and
+    // sorted on the bucket key: localCheckpoint preserves
+    // outputPartitioning/outputOrdering in the LogicalRDD, so the size
+    // aggregate and BOTH self-join sides below reuse the partitioning
+    // with no further exchange and no sort — the former lazy shape
+    // recomputed the signature subtree once per plan reference (2 join
+    // sides + 2 size subtrees) and shuffled it twice for the hinted SMJ.
+    // The materialization holds the same bytes the self-join's shuffle
+    // files held before, and the sketch is computed exactly once.
     val buckets = bandedBucketsWithArray(df, idCol, textCol, k, numPerms, bands)
+      .repartition(col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .localCheckpoint()
     val sizes = buckets.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsize"))
     val marked = buckets.join(sizes, Seq("band", "bucket"))

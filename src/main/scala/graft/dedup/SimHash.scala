@@ -57,8 +57,16 @@ object SimHash {
     val blocks = (0 until 4).map { blk =>
       struct(lit(blk).as("block"), blockKey(col("sig"), blk).as("key"))
     }
+    // materialize the exploded block table ONCE, pre-partitioned and
+    // sorted on the block key (MinHashLSH rationale): the size aggregate
+    // and both self-join sides reuse the preserved partitioning with no
+    // further exchange/sort, and the signature scan runs exactly once
+    // instead of once per plan reference.
     val exploded = sigs.select(col("id"), col("sig"), explode(array(blocks: _*)).as("b"))
       .select(col("id"), col("sig"), col("b.block").as("block"), col("b.key").as("key"))
+      .repartition(col("block"), col("key"))
+      .sortWithinPartitions(col("block"), col("key"))
+      .localCheckpoint()
     val capped =
       if (maxBucketSize == Int.MaxValue && dropObs.isEmpty) exploded
       else {

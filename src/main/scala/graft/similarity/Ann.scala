@@ -134,7 +134,14 @@ object Ann {
       df.select(idCol.as("id"), vecCol.as("v"), lit(t).as("table"),
         hyperplaneBucket(vecCol, dim, bits, seed).as("bucket"))
     }
+    // materialize the bucketed vector table ONCE, pre-partitioned and
+    // sorted on the bucket key (MinHashLSH rationale): size aggregate and
+    // both self-join sides reuse the preserved partitioning — no further
+    // exchange/sort, hyperplane projections computed exactly once.
     val bucketed = tables.reduce(_ unionAll _)
+      .repartition(col("table"), col("bucket"))
+      .sortWithinPartitions(col("table"), col("bucket"))
+      .localCheckpoint()
     val sizes = bucketed.groupBy(col("table"), col("bucket"))
       .agg(count(lit(1)).as("__bsize"))
     val marked = bucketed.join(sizes, Seq("table", "bucket"))
